@@ -1,0 +1,34 @@
+"""Test harness: run everything on a virtual 8-device CPU backend.
+
+Multi-device sharding tests exercise real pjit/shard_map collectives without
+TPU hardware (SURVEY.md §4 "multi-device tests without hardware"); parity
+tests compare against the TF reference, which is CPU-only here.  Env vars
+must be set before jax initializes a backend, hence module scope.
+"""
+
+import os
+import sys
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+xla_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in xla_flags:
+    os.environ["XLA_FLAGS"] = (
+        xla_flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+# The axon sitecustomize pins jax_platforms to "axon,cpu" at interpreter
+# start, overriding the env var — force CPU at the config level (backends
+# are created lazily, so this wins as long as no array op ran yet).
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+
+# The TF reference package uses flat sibling imports (SURVEY.md §1), so the
+# reference dir itself must be importable for parity tests.
+REFERENCE_DIR = "/root/reference/vit_tensorflow"
+if os.path.isdir(REFERENCE_DIR) and REFERENCE_DIR not in sys.path:
+    sys.path.append(REFERENCE_DIR)

@@ -1,0 +1,84 @@
+"""Multi-device sharding tests on the 8-device virtual CPU mesh.
+
+Exercises the real pjit path — batch sharded over ``data``, params over
+``model`` — with XLA collectives, no TPU needed (SURVEY.md §4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from vit_tpu import ViT
+from vit_tpu.parallel import mesh as mesh_lib
+from vit_tpu.parallel import sharding as shd
+from vit_tpu.parallel.train import (
+    TrainState, create_train_state, make_train_step,
+)
+
+
+@pytest.fixture(scope="module")
+def model_and_params():
+    v = ViT(image_size=32, patch_size=8, num_classes=10,
+            dim=64, depth=2, heads=2, mlp_dim=128, dim_head=32)
+    img = jnp.zeros((8, 32, 32, 3))
+    params = v.init(jax.random.PRNGKey(0), img)["params"]
+    return v, params
+
+
+def _run_steps(v, params, mesh, n_steps=2):
+    tx = optax.sgd(1e-2)
+    # Copy: the train step donates its input state, which would delete the
+    # module-scoped fixture params.
+    params = jax.tree.map(jnp.array, params)
+    state = create_train_state(params, tx)
+
+    def apply_fn(p, images, rng):
+        return v.apply({"params": p}, images)
+
+    _, compile_step = make_train_step(apply_fn, tx, mesh)
+    step = compile_step(state)
+
+    # Place state on mesh.
+    from vit_tpu.parallel.train import state_shardings
+    state = jax.device_put(state, state_shardings(mesh, state))
+
+    rng = jax.random.PRNGKey(0)
+    images = jax.random.normal(jax.random.PRNGKey(1), (8, 32, 32, 3))
+    labels = jnp.arange(8) % 10
+    losses = []
+    for _ in range(n_steps):
+        state, metrics = step(state, images, labels, rng)
+        losses.append(float(metrics["loss"]))
+    return losses
+
+
+def test_dp8_train_step(model_and_params):
+    v, params = model_and_params
+    mesh = mesh_lib.make_mesh((8, 1))
+    losses = _run_steps(v, params, mesh)
+    assert np.isfinite(losses).all()
+    assert losses[1] < losses[0]  # SGD reduces loss on a fixed batch
+
+
+def test_dp4_tp2_matches_dp8(model_and_params):
+    """TP sharding must be numerically equivalent to pure DP."""
+    v, params = model_and_params
+    losses_dp = _run_steps(v, params, mesh_lib.make_mesh((8, 1)))
+    losses_tp = _run_steps(v, params, mesh_lib.make_mesh((4, 2)))
+    np.testing.assert_allclose(losses_dp, losses_tp, rtol=2e-4)
+
+
+def test_param_sharding_rules(model_and_params):
+    v, params = model_and_params
+    mesh = mesh_lib.make_mesh((2, 4))
+    sharded = shd.shard_params(mesh, params)
+    qkv = sharded["transformer"]["attn_0"]["to_qkv"]["kernel"]
+    spec = qkv.sharding.spec
+    assert tuple(spec) == (None, "model")
+    fc2 = sharded["transformer"]["mlp_0"]["fc2"]["kernel"]
+    assert tuple(fc2.sharding.spec) == ("model", None)
+    # Values survive the placement round-trip.
+    np.testing.assert_array_equal(
+        np.asarray(qkv), np.asarray(params["transformer"]["attn_0"]["to_qkv"]["kernel"])
+    )

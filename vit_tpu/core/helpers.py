@@ -1,0 +1,59 @@
+"""Shared config helpers.
+
+The reference duplicates these per file (see SURVEY.md §2.3); here they live
+once.  Parity citations: ``pair`` (reference vit.py:11-12), ``exists`` /
+``default`` / ``cast_tuple`` (reference crossformer.py:12-22),
+``group_by_key_prefix_and_remove_prefix`` (reference cvt.py:10-21,
+twins_svt.py:10-21) — the reference's only "config system" beyond kwargs.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable
+
+
+def pair(t):
+    """Broadcast a scalar to an (h, w) tuple (reference vit.py:11-12)."""
+    return t if isinstance(t, tuple) else (t, t)
+
+
+def exists(val) -> bool:
+    return val is not None
+
+
+def default(val, d):
+    return val if exists(val) else d
+
+
+def cast_tuple(val, length: int = 1) -> tuple:
+    return val if isinstance(val, tuple) else (val,) * length
+
+
+def group_dict_by_key(cond, d: dict):
+    return_val = [dict(), dict()]
+    for key in d.keys():
+        match = bool(cond(key))
+        ind = int(not match)
+        return_val[ind][key] = d[key]
+    return (*return_val,)
+
+
+def group_by_key_prefix(prefix: str, d: dict):
+    return group_dict_by_key(lambda x: x.startswith(prefix), d)
+
+
+def group_by_key_prefix_and_remove_prefix(prefix: str, d: dict):
+    """Harvest ``prefix``-prefixed kwargs into their own dict, stripping the
+    prefix — the mechanism behind CvT's ``s1_*``/``s2_*``/``s3_*`` and
+    Twins-SVT's per-stage kwargs (reference cvt.py:10-21, cvt.py:180-185)."""
+    kwargs_with_prefix, kwargs = group_dict_by_key(
+        lambda x: x.startswith(prefix), d
+    )
+    kwargs_without_prefix = dict(
+        map(lambda x: (x[0][len(prefix):], x[1]), tuple(kwargs_with_prefix.items()))
+    )
+    return kwargs_without_prefix, kwargs
+
+
+def divisible_by(numer: int, denom: int) -> bool:
+    return (numer % denom) == 0

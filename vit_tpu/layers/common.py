@@ -1,0 +1,283 @@
+"""Shared L1/L2/L3 primitives.
+
+The reference duplicates these in every model file (SURVEY.md §2.3); here
+they exist once.  Numerics are pinned to the TF reference:
+
+* GELU is the exact erf form, not the tanh approximation
+  (reference vit.py:28-36 — the ``approximate`` branch is never used).
+* LayerNorm uses Keras's default epsilon 1e-3 and biased variance
+  (``tf.keras.layers.LayerNormalization`` defaults).
+* Dense/Conv kernels init glorot-uniform, biases zero (Keras defaults).
+
+Layout is NHWC throughout (TF parity; also the natural TPU conv layout).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from einops import rearrange
+from flax import linen as nn
+
+from vit_tpu.ops.attention import scaled_dot_product_attention
+
+Dtype = Any
+
+
+def gelu_exact(x: jax.Array) -> jax.Array:
+    """0.5·x·(1+erf(x/√2)) — reference vit.py:34."""
+    return jax.nn.gelu(x, approximate=False)
+
+
+glorot_uniform = nn.initializers.glorot_uniform()
+
+# Keras-parity Dense / Conv: glorot-uniform kernels, zero biases.
+Dense = functools.partial(nn.Dense, kernel_init=glorot_uniform)
+Conv = functools.partial(nn.Conv, kernel_init=glorot_uniform)
+
+# Keras-parity LayerNorm: epsilon defaults to 1e-3 in
+# tf.keras.layers.LayerNormalization; exact (two-pass) variance for
+# 1e-4 logit parity.
+LayerNorm = functools.partial(nn.LayerNorm, epsilon=1e-3, use_fast_variance=False)
+
+
+class Identity(nn.Module):
+    """Pass-through (reference parallel_vit.py:29-34)."""
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        return x
+
+
+class ChannelLayerNorm(nn.Module):
+    """LayerNorm over the channel axis of an NHWC feature map with *biased*
+    variance — the hand-rolled LayerNorm the conv-hybrid models share
+    (reference cvt.py:30-43, twins_svt.py:45-58, crossformer.py:74-87,
+    scalable_vit.py:46-59, nest.py:28-41).  ``tf.math.reduce_variance``
+    divides by N, hence biased; epsilon defaults to 1e-5 there.
+    """
+
+    dim: int
+    eps: float = 1e-5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        g = self.param("g", nn.initializers.ones, (1, 1, 1, self.dim))
+        b = self.param("b", nn.initializers.zeros, (1, 1, 1, self.dim))
+        x32 = x.astype(jnp.float32)
+        mean = jnp.mean(x32, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+        out = (x32 - mean) / jnp.sqrt(var + self.eps) * g + b
+        return out.astype(x.dtype)
+
+
+class MLP(nn.Module):
+    """Dense→GELU→Dropout→Dense→Dropout feed-forward (reference vit.py:24-47)."""
+
+    dim: int
+    hidden_dim: int
+    dropout: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        x = Dense(self.hidden_dim, dtype=self.dtype, name="fc1")(x)
+        x = gelu_exact(x)
+        x = nn.Dropout(self.dropout)(x, deterministic=not training)
+        x = Dense(self.dim, dtype=self.dtype, name="fc2")(x)
+        x = nn.Dropout(self.dropout)(x, deterministic=not training)
+        return x
+
+
+class Attention(nn.Module):
+    """Canonical multi-head self-attention (reference vit.py:49-85).
+
+    Fused qkv projection (no bias), scaled-dot-product over
+    ``vit_tpu.ops.attention`` (flash kernel when eligible), output
+    projection + dropout unless single-head with dim_head == dim.
+    """
+
+    dim: int
+    heads: int = 8
+    dim_head: int = 64
+    dropout: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        inner_dim = self.dim_head * self.heads
+        project_out = not (self.heads == 1 and self.dim_head == self.dim)
+
+        qkv = Dense(inner_dim * 3, use_bias=False, dtype=self.dtype, name="to_qkv")(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q, k, v = map(
+            lambda t: rearrange(t, "b n (h d) -> b h n d", h=self.heads), (q, k, v)
+        )
+
+        out = scaled_dot_product_attention(q, k, v, scale=self.dim_head ** -0.5)
+        out = rearrange(out, "b h n d -> b n (h d)")
+
+        if project_out:
+            out = Dense(self.dim, dtype=self.dtype, name="to_out")(out)
+            out = nn.Dropout(self.dropout)(out, deterministic=not training)
+        return out
+
+
+class Transformer(nn.Module):
+    """Pre-norm residual encoder stack (reference vit.py:87-104).
+
+    The reference's Python layer loop becomes an unrolled jit-compiled loop
+    (depths here are ≤26 — unrolling lets XLA fuse across layers; see
+    SURVEY.md §3.1 rebuild mapping).
+    """
+
+    dim: int
+    depth: int
+    heads: int
+    dim_head: int
+    mlp_dim: int
+    dropout: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        for i in range(self.depth):
+            h = LayerNorm(dtype=self.dtype, name=f"attn_norm_{i}")(x)
+            h = Attention(
+                self.dim,
+                heads=self.heads,
+                dim_head=self.dim_head,
+                dropout=self.dropout,
+                dtype=self.dtype,
+                name=f"attn_{i}",
+            )(h, training=training)
+            x = x + h
+            h = LayerNorm(dtype=self.dtype, name=f"mlp_norm_{i}")(x)
+            h = MLP(
+                self.dim,
+                self.mlp_dim,
+                dropout=self.dropout,
+                dtype=self.dtype,
+                name=f"mlp_{i}",
+            )(h, training=training)
+            x = x + h
+        return x
+
+
+class DropPath(nn.Module):
+    """Per-sample stochastic depth (reference cct.py:74-103), PRNG-keyed
+    instead of the reference's eager ``tf.rank(x).numpy()`` escape
+    (SURVEY.md §8.5)."""
+
+    rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        if self.rate == 0.0 or not training:
+            return x
+        keep = 1.0 - self.rate
+        rng = self.make_rng("dropout")
+        shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+        mask = jax.random.bernoulli(rng, keep, shape)
+        return jnp.where(mask, x / keep, 0.0).astype(x.dtype)
+
+
+class PEG(nn.Module):
+    """Positional Encoding Generator: residual depthwise 3×3 conv over the
+    NHWC map (CPVT; reference twins_svt.py:108-115, regionvit.py:54-61,
+    scalable_vit.py:80-87)."""
+
+    dim: int
+    kernel_size: int = 3
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        out = Conv(
+            self.dim,
+            (self.kernel_size, self.kernel_size),
+            padding="SAME",
+            feature_group_count=self.dim,
+            dtype=self.dtype,
+            name="proj",
+        )(x)
+        return out + x
+
+
+class DepthWiseConv2d(nn.Module):
+    """Depthwise conv + optional BN + pointwise conv (reference pit.py:125-137;
+    the CvT variant at cvt.py:79-92 adds BatchNorm between them)."""
+
+    dim_in: int
+    dim_out: int
+    kernel_size: int
+    stride: int = 1
+    use_bias: bool = True
+    use_bn: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        x = Conv(
+            self.dim_in,
+            (self.kernel_size, self.kernel_size),
+            strides=self.stride,
+            padding="SAME",
+            feature_group_count=self.dim_in,
+            use_bias=self.use_bias,
+            dtype=self.dtype,
+            name="depthwise",
+        )(x)
+        if self.use_bn:
+            x = nn.BatchNorm(
+                use_running_average=not training,
+                momentum=0.99,
+                epsilon=1e-3,
+                dtype=self.dtype,
+                name="bn",
+            )(x)
+        x = Conv(
+            self.dim_out,
+            (1, 1),
+            use_bias=self.use_bias,
+            dtype=self.dtype,
+            name="pointwise",
+        )(x)
+        return x
+
+
+class Downsample(nn.Module):
+    """3×3 stride-2 conv downsampling (reference regionvit.py:45-52,
+    scalable_vit.py:71-78)."""
+
+    dim_out: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        return Conv(
+            self.dim_out,
+            (3, 3),
+            strides=2,
+            padding="SAME",
+            dtype=self.dtype,
+            name="conv",
+        )(x)
+
+
+def batchnorm(training: bool, dtype=jnp.float32, name: Optional[str] = None, **kw):
+    """Keras-parity BatchNorm: momentum 0.99, epsilon 1e-3
+    (``tf.keras.layers.BatchNormalization`` defaults; used by LeViT/CvT/
+    MobileViT/CCT conv stems)."""
+    return nn.BatchNorm(
+        use_running_average=not training,
+        momentum=0.99,
+        epsilon=1e-3,
+        dtype=dtype,
+        name=name,
+        **kw,
+    )

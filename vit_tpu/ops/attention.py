@@ -1,0 +1,121 @@
+"""Scaled-dot-product attention — the framework's single hottest op.
+
+The reference implements one ``Attention`` class per variant file, each with
+the same einsum pair at its core (reference vit.py:77,81).  Here there is ONE
+op with hooks, and a Pallas flash-attention kernel behind it for the plain
+path (see ``vit_tpu.ops.flash_attention``); variants that must materialize the
+attention matrix (DeepViT re-attention, CaiT talking-heads) use the XLA path
+which XLA fuses well at ViT sequence lengths.
+
+All softmax math runs in float32 regardless of the compute dtype (bf16-safe),
+then casts back.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+# Large-negative masking value, matching the reference's dtype-max convention
+# (reference ats_vit.py:97, vit_for_small_dataset.py:112 use -np.finfo.max).
+def mask_value(dtype) -> float:
+    return -jnp.finfo(jnp.float32).max
+
+
+def _use_flash(q, bias, mask) -> bool:
+    from vit_tpu.ops import flash_attention as fa
+
+    if not fa.flash_attention_available():
+        return False
+    b, h, n, d = q.shape
+    # The flash kernel needs lane-aligned head dims and enough rows to tile.
+    return d % 128 == 0 and n >= 256 and bias is None and mask is None
+
+
+def scaled_dot_product_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    scale: Optional[float] = None,
+    bias: Optional[jax.Array] = None,
+    mask: Optional[jax.Array] = None,
+    use_flash: str = "auto",
+) -> jax.Array:
+    """Attention over (batch, heads, seq, dim_head) tensors.
+
+    Args:
+      q, k, v: (b, h, n_q, d), (b, h, n_k, d), (b, h, n_k, d).
+      scale: multiplier on logits; defaults to d ** -0.5 (reference vit.py:56).
+      bias: additive logits bias, broadcastable to (b, h, n_q, n_k) — relative
+        position biases (LeViT/RegionViT/CrossFormer) land here.
+      mask: boolean, broadcastable to (b, h, n_q, n_k); False positions are
+        masked out with -float32.max before softmax (reference ats_vit.py:200-205).
+      use_flash: 'auto' | 'never' | 'force'.
+    """
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+
+    if use_flash != "never" and (use_flash == "force" or _use_flash(q, bias, mask)):
+        from vit_tpu.ops import flash_attention as fa
+
+        return fa.flash_attention(q, k, v, scale=scale)
+
+    return _xla_attention(q, k, v, scale=scale, bias=bias, mask=mask)
+
+
+def _xla_attention(q, k, v, *, scale, bias=None, mask=None):
+    out_dtype = q.dtype
+    logits = jnp.einsum(
+        "bhid,bhjd->bhij", q, k, preferred_element_type=jnp.float32
+    )
+    logits = logits * scale
+    if bias is not None:
+        logits = logits + bias.astype(jnp.float32)
+    if mask is not None:
+        logits = jnp.where(mask, logits, mask_value(logits.dtype))
+    attn = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum(
+        "bhij,bhjd->bhid", attn.astype(q.dtype), v,
+        preferred_element_type=jnp.float32,
+    )
+    return out.astype(out_dtype)
+
+
+def attention_weights(
+    q: jax.Array,
+    k: jax.Array,
+    *,
+    scale: Optional[float] = None,
+    bias: Optional[jax.Array] = None,
+    mask: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Materialized post-softmax attention matrix (float32).
+
+    For variants that transform the attention matrix itself: DeepViT
+    re-attention (reference deepvit.py:82-84), CaiT talking-heads (reference
+    cait.py:123-125), ATS token scoring (reference ats_vit.py:81-90).
+    """
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    logits = jnp.einsum(
+        "bhid,bhjd->bhij", q, k, preferred_element_type=jnp.float32
+    )
+    logits = logits * scale
+    if bias is not None:
+        logits = logits + bias.astype(jnp.float32)
+    if mask is not None:
+        logits = jnp.where(mask, logits, mask_value(logits.dtype))
+    return jax.nn.softmax(logits, axis=-1)
+
+
+def apply_attention(attn: jax.Array, v: jax.Array) -> jax.Array:
+    """attn @ v for a materialized attention matrix."""
+    out = jnp.einsum(
+        "bhij,bhjd->bhid", attn.astype(v.dtype), v,
+        preferred_element_type=jnp.float32,
+    )
+    return out.astype(v.dtype)

@@ -1,0 +1,130 @@
+"""Sharded train / infer steps.
+
+The reference's only training story is a bare eager ``tf.GradientTape`` loop
+(reference mpp.py:243-251) on one device.  Here a train step is one jitted
+SPMD program over a ``data`` × ``model`` mesh: batches shard over ``data``,
+params optionally shard over ``model`` (vit_tpu.parallel.sharding), XLA
+inserts the grad all-reduce over ICI.  bf16 compute / f32 params is the
+default production policy; parity suites run f32.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from vit_tpu.parallel import sharding as shd
+from vit_tpu.parallel.mesh import DATA_AXIS, batch_sharding, replicated
+
+
+class TrainState(NamedTuple):
+    step: jax.Array
+    params: Any
+    opt_state: Any
+
+
+def cross_entropy_loss(logits: jax.Array, labels: jax.Array) -> jax.Array:
+    """Sparse softmax CE in f32."""
+    logits = logits.astype(jnp.float32)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    return -jnp.mean(jnp.take_along_axis(logp, labels[:, None], axis=-1))
+
+
+def create_train_state(params, tx: optax.GradientTransformation) -> TrainState:
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        opt_state=tx.init(params),
+    )
+
+
+def state_shardings(mesh: Mesh, state: TrainState) -> TrainState:
+    """Sharding tree for a TrainState: params/opt_state by the TP rule table
+    (pure-DP meshes degenerate to fully replicated), step replicated."""
+    return TrainState(
+        step=replicated(mesh),
+        params=shd.param_shardings(mesh, state.params),
+        opt_state=jax.tree_util.tree_map_with_path(
+            lambda path, leaf: NamedSharding(mesh, shd._spec_for_path(path, leaf)),
+            state.opt_state,
+        ),
+    )
+
+
+def make_train_step(
+    apply_fn: Callable,
+    tx: optax.GradientTransformation,
+    mesh: Mesh,
+    loss_fn: Optional[Callable] = None,
+    donate: bool = True,
+):
+    """Build a jitted SPMD classification train step.
+
+    ``apply_fn(params, images, rng) -> logits``; the returned step has
+    signature ``step(state, images, labels, rng) -> (state, metrics)`` with
+    images/labels sharded over the ``data`` axis.
+    """
+    loss_fn = loss_fn or cross_entropy_loss
+
+    def step(state: TrainState, images, labels, rng):
+        def loss_of(params):
+            logits = apply_fn(params, images, rng)
+            return loss_fn(logits, labels)
+
+        loss, grads = jax.value_and_grad(loss_of)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(state.step + 1, params, opt_state)
+        metrics = {"loss": loss, "step": new_state.step}
+        return new_state, metrics
+
+    def compile_step(state: TrainState):
+        st_sh = state_shardings(mesh, state)
+        data_sh = batch_sharding(mesh)
+        rep = replicated(mesh)
+        return jax.jit(
+            step,
+            in_shardings=(st_sh, data_sh, data_sh, rep),
+            out_shardings=(st_sh, rep),
+            donate_argnums=(0,) if donate else (),
+        )
+
+    return step, compile_step
+
+
+def make_loss_train_step(
+    loss_apply_fn: Callable,
+    tx: optax.GradientTransformation,
+    mesh: Mesh,
+    donate: bool = True,
+):
+    """Same, for self-supervised objectives whose forward IS the loss
+    (MAE/SimMIM/MPP/Distill wrappers): ``loss_apply_fn(params, batch, rng)
+    -> scalar loss``."""
+
+    def step(state: TrainState, batch, rng):
+        loss, grads = jax.value_and_grad(
+            lambda p: loss_apply_fn(p, batch, rng)
+        )(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(state.step + 1, params, opt_state)
+        return new_state, {"loss": loss, "step": new_state.step}
+
+    def compile_step(state: TrainState):
+        st_sh = state_shardings(mesh, state)
+        data_sh = batch_sharding(mesh)
+        rep = replicated(mesh)
+        return jax.jit(
+            step,
+            in_shardings=(st_sh, data_sh, rep),
+            out_shardings=(st_sh, rep),
+            donate_argnums=(0,) if donate else (),
+        )
+
+    return step, compile_step
