@@ -1,0 +1,103 @@
+"""Benchmark harness — prints ONE JSON line.
+
+Headline metric (BASELINE.json): ViT-B/32 @256 fwd+bwd images/sec/chip on the
+canonical reference config (reference vit.py:181-194: dim 1024, depth 6,
+heads 16, mlp 2048).  Runs on the real chip with the production dtype policy
+(bf16 compute / f32 params).
+
+The reference publishes no numbers (BASELINE.md), so ``vs_baseline`` reports
+the fraction of the per-chip bf16 matmul roofline this run achieves
+(analytic FLOP count / peak bf16 FLOPs for the detected TPU generation).
+"""
+
+import functools
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+def model_train_flops_per_image(image_size=256, patch=32, dim=1024, depth=6,
+                                heads=16, dim_head=64, mlp_dim=2048,
+                                num_classes=1000):
+    n = (image_size // patch) ** 2 + 1  # +CLS
+    patch_dim = patch * patch * 3
+    inner = heads * dim_head
+    fwd = (n - 1) * patch_dim * dim * 2  # patch embedding GEMM
+    per_layer = (
+        n * dim * (3 * inner) * 2        # qkv
+        + 2 * heads * n * n * dim_head * 2  # q@k^T and attn@v
+        + n * inner * dim * 2            # out proj
+        + 2 * n * dim * mlp_dim * 2      # mlp
+    )
+    fwd += depth * per_layer + dim * num_classes * 2
+    return 3 * fwd  # fwd + bwd ≈ 3× fwd FLOPs
+
+
+def peak_bf16_flops():
+    kind = jax.devices()[0].device_kind.lower()
+    # Per-chip dense bf16 peaks (public specs).
+    if "v5 lite" in kind or "v5e" in kind:
+        return 197e12
+    if "v4" in kind:
+        return 275e12
+    if "v5p" in kind or "v5" in kind:
+        return 459e12
+    if "v6" in kind:
+        return 918e12
+    return 197e12
+
+
+def main():
+    from vit_tpu import ViT
+    from vit_tpu.parallel.train import cross_entropy_loss
+
+    batch = 128
+    model = ViT(
+        image_size=256, patch_size=32, num_classes=1000,
+        dim=1024, depth=6, heads=16, mlp_dim=2048,
+        dtype=jnp.bfloat16,
+    )
+    img = jax.random.normal(jax.random.PRNGKey(1), (batch, 256, 256, 3), jnp.bfloat16)
+    labels = jnp.arange(batch) % 1000
+    params = model.init(jax.random.PRNGKey(0), img)
+    tx = optax.sgd(1e-3)
+    opt_state = tx.init(params)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def train_step(params, opt_state, img, labels):
+        def loss_fn(p):
+            return cross_entropy_loss(model.apply(p, img), labels)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    # Compile + settle (first post-compile steps can be anomalously timed on
+    # the remote-compile path; force a host transfer to anchor each phase).
+    for _ in range(5):
+        params, opt_state, loss = train_step(params, opt_state, img, labels)
+    float(loss)
+
+    iters = 30
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        params, opt_state, loss = train_step(params, opt_state, img, labels)
+    float(loss)  # host transfer: guarantees every queued step retired
+    dt = (time.perf_counter() - t0) / iters
+
+    imgs_per_sec = batch / dt
+    roofline = peak_bf16_flops() / model_train_flops_per_image()
+    print(json.dumps({
+        "metric": "ViT-B/32 @256 fwd+bwd images/sec/chip (batch=128, bf16)",
+        "value": round(imgs_per_sec, 1),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(imgs_per_sec / roofline, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

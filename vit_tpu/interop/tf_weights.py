@@ -90,10 +90,13 @@ def transplant_mlp(params, prefix, tf_mlp) -> None:
 
 
 def transplant_attention(params, prefix, tf_attn) -> None:
-    """Reference Attention (vit.py:49-85)."""
+    """Reference Attention (vit.py:49-85).  ``to_out`` may be an empty
+    Sequential (or a substituted Identity under Keras 3) when the projection
+    is skipped."""
     dense(params, f"{prefix}/to_qkv", tf_attn.to_qkv)
-    if len(tf_attn.to_out.layers) > 0:
-        dense(params, f"{prefix}/to_out", tf_attn.to_out.layers[0])
+    sub = getattr(tf_attn.to_out, "layers", [])
+    if len(sub) > 0:
+        dense(params, f"{prefix}/to_out", sub[0])
 
 
 def transplant_transformer(params, prefix, tf_tr) -> None:
@@ -115,4 +118,255 @@ def transplant_vit(tf_model, variables) -> dict:
     transplant_transformer(p, "transformer", tf_model.transformer)
     layernorm(p, "head_norm", tf_model.mlp_head.layers[0])
     dense(p, "head", tf_model.mlp_head.layers[1])
+    return v
+
+
+def transplant_deepvit(tf_model, variables) -> dict:
+    """TF reference DeepViT (deepvit.py:112-157) → vit_tpu DeepViT variables."""
+    v = to_mutable(variables)
+    p = v["params"]
+    dense(p, "patch_embedding", tf_model.patch_embedding.layers[1])
+    set_(p, "cls_token", t(tf_model.cls_token))
+    set_(p, "pos_embedding", t(tf_model.pos_embedding))
+    for i, (pre_attn, pre_mlp) in enumerate(tf_model.transformer.layers):
+        layernorm(p, f"attn_norm_{i}", pre_attn.norm)
+        a = pre_attn.fn
+        dense(p, f"attn_{i}/to_qkv", a.to_qkv)
+        set_(p, f"attn_{i}/reattn_weights", t(a.reattn_weights))
+        layernorm(p, f"attn_{i}/reattn_norm", a.reattn_norm.layers[1])
+        dense(p, f"attn_{i}/to_out", a.to_out.layers[0])
+        layernorm(p, f"mlp_norm_{i}", pre_mlp.norm)
+        transplant_mlp(p, f"mlp_{i}", pre_mlp.fn)
+    layernorm(p, "head_norm", tf_model.mlp_head.layers[0])
+    dense(p, "head", tf_model.mlp_head.layers[1])
+    return v
+
+
+def _transplant_cait_transformer(p, prefix, tf_tr) -> None:
+    """Reference cait.py Transformer: [LayerScale(PreNorm(Attn)),
+    LayerScale(PreNorm(MLP))] per depth."""
+    for i, (ls_attn, ls_mlp) in enumerate(tf_tr.layers):
+        set_(p, f"{prefix}/layerscale_attn_{i}", t(ls_attn.scale))
+        set_(p, f"{prefix}/layerscale_mlp_{i}", t(ls_mlp.scale))
+        pre_attn, pre_mlp = ls_attn.fn, ls_mlp.fn
+        layernorm(p, f"{prefix}/attn_norm_{i}", pre_attn.norm)
+        a = pre_attn.fn
+        dense(p, f"{prefix}/attn_{i}/to_q", a.to_q)
+        dense(p, f"{prefix}/attn_{i}/to_kv", a.to_kv)
+        set_(p, f"{prefix}/attn_{i}/mix_heads_pre_attn", t(a.mix_heads_pre_attn))
+        set_(p, f"{prefix}/attn_{i}/mix_heads_post_attn", t(a.mix_heads_post_attn))
+        dense(p, f"{prefix}/attn_{i}/to_out", a.to_out.layers[0])
+        layernorm(p, f"{prefix}/mlp_norm_{i}", pre_mlp.norm)
+        transplant_mlp(p, f"{prefix}/mlp_{i}", pre_mlp.fn)
+
+
+def transplant_cait(tf_model, variables) -> dict:
+    """TF reference CaiT (cait.py:155-194) → vit_tpu CaiT variables."""
+    v = to_mutable(variables)
+    p = v["params"]
+    dense(p, "patch_embedding", tf_model.patch_embedding.layers[1])
+    set_(p, "cls_token", t(tf_model.cls_token))
+    set_(p, "pos_embedding", t(tf_model.pos_embedding))
+    _transplant_cait_transformer(p, "patch_transformer", tf_model.patch_transformer)
+    _transplant_cait_transformer(p, "cls_transformer", tf_model.cls_transformer)
+    layernorm(p, "head_norm", tf_model.mlp_head.layers[0])
+    dense(p, "head", tf_model.mlp_head.layers[1])
+    return v
+
+
+def transplant_parallel_vit(tf_model, variables) -> dict:
+    """TF reference Parallel ViT (parallel_vit.py:119-178) → vit_tpu variables."""
+    v = to_mutable(variables)
+    p = v["params"]
+    dense(p, "patch_embedding", tf_model.patch_embedding.layers[1])
+    set_(p, "cls_token", t(tf_model.cls_token))
+    set_(p, "pos_embedding", t(tf_model.pos_embedding))
+    for i, (par_attn, par_mlp) in enumerate(tf_model.transformer.layers):
+        for j, pre in enumerate(par_attn.fns):
+            layernorm(p, f"attn_norm_{i}_{j}", pre.norm)
+            a = pre.fn
+            dense(p, f"attn_{i}_{j}/to_qkv", a.to_qkv)
+            if hasattr(a.to_out, "layers") and len(a.to_out.layers) > 0:
+                dense(p, f"attn_{i}_{j}/to_out", a.to_out.layers[0])
+        for j, pre in enumerate(par_mlp.fns):
+            layernorm(p, f"mlp_norm_{i}_{j}", pre.norm)
+            transplant_mlp(p, f"mlp_{i}_{j}", pre.fn)
+    layernorm(p, "head_norm", tf_model.mlp_head.layers[0])
+    dense(p, "head", tf_model.mlp_head.layers[1])
+    return v
+
+
+def transplant_efficient_vit(tf_model, variables) -> dict:
+    """TF reference "efficient" ViT shell (efficient.py:13-55) with a
+    reference vit.Transformer injected → vit_tpu efficient.ViT with our
+    Transformer injected."""
+    v = to_mutable(variables)
+    p = v["params"]
+    dense(p, "patch_embedding", tf_model.patch_embedding.layers[1])
+    set_(p, "cls_token", t(tf_model.cls_token))
+    set_(p, "pos_embedding", t(tf_model.pos_embedding))
+    transplant_transformer(p, "transformer", tf_model.transformer)
+    layernorm(p, "head_norm", tf_model.mlp_head.layers[0])
+    dense(p, "head", tf_model.mlp_head.layers[1])
+    return v
+
+
+def transplant_small_dataset_vit(tf_model, variables) -> dict:
+    """TF reference ViT-for-small-datasets (vit_for_small_dataset.py:159-215)
+    → vit_tpu variables (SPT + LSA)."""
+    v = to_mutable(variables)
+    p = v["params"]
+    spt = tf_model.patch_embedding
+    layernorm(p, "patch_embedding/norm", spt.to_patch_tokens.layers[1])
+    dense(p, "patch_embedding/proj", spt.to_patch_tokens.layers[2])
+    set_(p, "cls_token", t(tf_model.cls_token))
+    set_(p, "pos_embedding", t(tf_model.pos_embedding))
+    for i, (pre_attn, pre_mlp) in enumerate(tf_model.transformer.layers):
+        layernorm(p, f"attn_norm_{i}", pre_attn.norm)
+        a = pre_attn.fn
+        set_(p, f"attn_{i}/temperature", t(a.temperature))
+        dense(p, f"attn_{i}/to_qkv", a.to_qkv)
+        dense(p, f"attn_{i}/to_out", a.to_out.layers[0])
+        layernorm(p, f"mlp_norm_{i}", pre_mlp.norm)
+        transplant_mlp(p, f"mlp_{i}", pre_mlp.fn)
+    layernorm(p, "head_norm", tf_model.mlp_head.layers[0])
+    dense(p, "head", tf_model.mlp_head.layers[1])
+    return v
+
+
+def transplant_patch_merger_vit(tf_model, variables) -> dict:
+    """TF reference ViT+PatchMerger (vit_with_patch_merger.py:136-184)
+    → vit_tpu variables."""
+    v = to_mutable(variables)
+    p = v["params"]
+    dense(p, "patch_embedding", tf_model.patch_embedding.layers[1])
+    set_(p, "pos_embedding", t(tf_model.pos_embedding))
+    tr = tf_model.transformer
+    layernorm(p, "patch_merger/norm", tr.patch_merger.norm)
+    set_(p, "patch_merger/queries", t(tr.patch_merger.queries))
+    for i, (pre_attn, pre_mlp) in enumerate(tr.layers):
+        layernorm(p, f"attn_norm_{i}", pre_attn.norm)
+        transplant_attention(p, f"attn_{i}", pre_attn.fn)
+        layernorm(p, f"mlp_norm_{i}", pre_mlp.norm)
+        transplant_mlp(p, f"mlp_{i}", pre_mlp.fn)
+    layernorm(p, "head_norm", tf_model.mlp_head.layers[1])
+    dense(p, "head", tf_model.mlp_head.layers[2])
+    return v
+
+
+def _transplant_cross_attention(p, prefix, tf_attn) -> None:
+    dense(p, f"{prefix}/to_q", tf_attn.to_q)
+    dense(p, f"{prefix}/to_kv", tf_attn.to_kv)
+    dense(p, f"{prefix}/to_out", tf_attn.to_out.layers[0])
+
+
+def transplant_cross_vit(tf_model, variables) -> dict:
+    """TF reference CrossViT (cross_vit.py:232-303) → vit_tpu variables."""
+    v = to_mutable(variables)
+    p = v["params"]
+    for side, emb in (("sm", tf_model.sm_image_embedder),
+                      ("lg", tf_model.lg_image_embedder)):
+        dense(p, f"{side}_image_embedder/patch_embedding",
+              emb.patch_embedding.layers[1])
+        set_(p, f"{side}_image_embedder/cls_token", t(emb.cls_token))
+        set_(p, f"{side}_image_embedder/pos_embedding", t(emb.pos_embedding))
+
+    for r, (sm_enc, lg_enc, cross) in enumerate(tf_model.multi_scale_encoder.layers):
+        for side, enc in (("sm", sm_enc), ("lg", lg_enc)):
+            prefix = f"{side}_enc_{r}"
+            for i, (pre_attn, pre_mlp) in enumerate(enc.layers):
+                layernorm(p, f"{prefix}/attn_norm_{i}", pre_attn.norm)
+                _transplant_cross_attention(p, f"{prefix}/attn_{i}", pre_attn.fn)
+                layernorm(p, f"{prefix}/mlp_norm_{i}", pre_mlp.norm)
+                transplant_mlp(p, f"{prefix}/mlp_{i}", pre_mlp.fn)
+            layernorm(p, f"{prefix}/norm", enc.norm)
+        cprefix = f"cross_attend_{r}"
+        for i, (sm_attend_lg, lg_attend_sm) in enumerate(cross.layers):
+            for tag, proj in (("sm_attend_lg", sm_attend_lg),
+                              ("lg_attend_sm", lg_attend_sm)):
+                side = tag.split("_")[0]
+                if proj.need_projection:
+                    dense(p, f"{cprefix}/{side}_project_in_{i}", proj.project_in)
+                    dense(p, f"{cprefix}/{side}_project_out_{i}", proj.project_out)
+                pre = proj.fn
+                layernorm(p, f"{cprefix}/{tag}_norm_{i}", pre.norm)
+                _transplant_cross_attention(p, f"{cprefix}/{tag}_{i}", pre.fn)
+
+    layernorm(p, "sm_head_norm", tf_model.sm_mlp_head.layers[0])
+    dense(p, "sm_head", tf_model.sm_mlp_head.layers[1])
+    layernorm(p, "lg_head_norm", tf_model.lg_mlp_head.layers[0])
+    dense(p, "lg_head", tf_model.lg_mlp_head.layers[1])
+    return v
+
+
+def transplant_t2t(tf_model, variables) -> dict:
+    """TF reference T2TViT (t2t.py:49-109) → vit_tpu variables."""
+    v = to_mutable(variables)
+    p = v["params"]
+    stages = tf_model.patch_embedding.layers
+    for i, stage in enumerate(stages[:-1]):
+        if not stage.is_last:
+            transplant_transformer(p, f"t2t_transformer_{i}",
+                                   stage.transformer_layer)
+    dense(p, "patch_embedding", stages[-1])
+    set_(p, "cls_token", t(tf_model.cls_token))
+    set_(p, "pos_embedding", t(tf_model.pos_embedding))
+    transplant_transformer(p, "transformer", tf_model.transformer)
+    layernorm(p, "head_norm", tf_model.mlp_head.layers[0])
+    dense(p, "head", tf_model.mlp_head.layers[1])
+    return v
+
+
+def transplant_pit(tf_model, variables) -> dict:
+    """TF reference PiT (pit.py:158-219) with the §8.4 pooling fix applied on
+    the TF side → vit_tpu variables."""
+    v = to_mutable(variables)
+    p = v["params"]
+    dense(p, "patch_embedding", tf_model.patch_embedding.layers[1])
+    set_(p, "cls_token", t(tf_model.cls_token))
+    set_(p, "pos_embedding", t(tf_model.pos_embedding))
+    t_idx = pool_idx = 0
+    for layer in tf_model.transformer_layers.layers:
+        if not hasattr(layer, "downsample"):
+            transplant_transformer(p, f"transformer_{t_idx}", layer)
+            t_idx += 1
+        else:  # Pool
+            dense(p, f"pool_{pool_idx}/cls_ff", layer.cls_ff)
+            conv(p, f"pool_{pool_idx}/downsample_grouped",
+                 layer.downsample.net.layers[0])
+            conv(p, f"pool_{pool_idx}/downsample_pointwise",
+                 layer.downsample.net.layers[1])
+            pool_idx += 1
+    layernorm(p, "head_norm", tf_model.mlp_head.layers[0])
+    dense(p, "head", tf_model.mlp_head.layers[1])
+    return v
+
+
+def transplant_cct(tf_model, variables) -> dict:
+    """TF reference CCT (cct.py:307-345) → vit_tpu CCT variables.
+    Use positional_embedding='learnable' or 'none' on the TF side — the
+    reference's 'sine' default crashes at construction (SURVEY.md §8.6)."""
+    v = to_mutable(variables)
+    p = v["params"]
+    conv_idx = 0
+    for layer in tf_model.tokenizer.conv_layers.layers:
+        if hasattr(layer, "kernel"):
+            conv(p, f"conv_{conv_idx}", layer)
+            conv_idx += 1
+    clf = tf_model.classifier
+    if getattr(clf, "positional_emb", None) is not None and clf.positional_emb.trainable:
+        set_(p, "positional_emb", t(clf.positional_emb))
+    if not clf.seq_pool:
+        set_(p, "class_emb", t(clf.class_emb))
+    else:
+        dense(p, "attention_pool", clf.attention_pool)
+    for i, block in enumerate(clf.blocks.layers):
+        layernorm(p, f"block_{i}/pre_norm", block.pre_norm)
+        dense(p, f"block_{i}/self_attn/to_qkv", block.self_attn.to_qkv)
+        dense(p, f"block_{i}/self_attn/proj", block.self_attn.proj.layers[0])
+        layernorm(p, f"block_{i}/norm1", block.norm1)
+        dense(p, f"block_{i}/linear1", block.linear1)
+        dense(p, f"block_{i}/linear2", block.linear2)
+    layernorm(p, "norm", clf.norm)
+    dense(p, "fc", clf.fc)
     return v
