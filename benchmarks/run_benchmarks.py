@@ -1,0 +1,156 @@
+"""Benchmark matrix — BASELINE.json "configs" on the real chip.
+
+Measures steady-state throughput (images/sec/chip) for inference and
+fwd+bwd training steps, in the production dtype policy (bf16 compute).
+Writes one JSON line per entry to benchmarks/results.jsonl.
+
+Usage:
+    python benchmarks/run_benchmarks.py [--only vit,cait,...] [--batch 64]
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+def model_registry(dtype):
+    from vit_tpu import (CaiT, CrossFormer, CrossViT, DeepViT, LeViT,
+                         MobileViT, NesT, PiT, T2TViT, TwinsSVT, ViT)
+
+    return {
+        # headline config: reference vit.py usage block
+        "vit_b32_256": (ViT(image_size=256, patch_size=32, num_classes=1000,
+                            dim=1024, depth=6, heads=16, mlp_dim=2048,
+                            dtype=dtype), 256),
+        "vit_b16_224": (ViT(image_size=224, patch_size=16, num_classes=1000,
+                            dim=768, depth=12, heads=12, mlp_dim=3072,
+                            dtype=dtype), 224),
+        "deepvit": (DeepViT(image_size=256, patch_size=32, num_classes=1000,
+                            dim=1024, depth=6, heads=16, mlp_dim=2048,
+                            dtype=dtype), 256),
+        "cait": (CaiT(image_size=256, patch_size=32, num_classes=1000,
+                      dim=1024, depth=12, cls_depth=2, heads=16,
+                      mlp_dim=2048, dtype=dtype), 256),
+        "t2t": (T2TViT(image_size=224, num_classes=1000, dim=512, depth=5,
+                       heads=8, mlp_dim=512, dtype=dtype), 224),
+        "pit": (PiT(image_size=224, patch_size=14, num_classes=1000, dim=256,
+                    depth=(3, 3, 3), heads=16, mlp_dim=2048, dtype=dtype), 224),
+        "nest": (NesT(image_size=224, patch_size=4, num_classes=1000, dim=96,
+                      heads=3, num_hierarchies=3, block_repeats=(2, 2, 8),
+                      dtype=dtype), 224),
+        "levit": (LeViT(image_size=224, num_classes=1000, stages=3,
+                        dim=(256, 384, 512), depth=4, heads=(4, 6, 8),
+                        mlp_mult=2, dtype=dtype), 224),
+        "twins_svt": (TwinsSVT(num_classes=1000, dtype=dtype), 224),
+        "crossformer": (CrossFormer(num_classes=1000, dtype=dtype), 224),
+        "regionvit": (None, 224),  # filled below (constructor kwargs differ)
+        "mobilevit": (MobileViT(image_size=(256, 256), dims=[96, 120, 144],
+                                channels=[16, 32, 48, 48, 64, 64, 80, 80,
+                                          96, 96, 384],
+                                num_classes=1000, dtype=dtype), 256),
+        "cross_vit": (CrossViT(image_size=256, num_classes=1000, sm_dim=192,
+                               lg_dim=384, sm_patch_size=16, lg_patch_size=64,
+                               sm_enc_depth=2, lg_enc_depth=3, depth=4,
+                               dropout=0.0, emb_dropout=0.0, dtype=dtype), 256),
+    }
+
+
+def _regionvit(dtype):
+    from vit_tpu import RegionViT
+
+    return RegionViT(num_classes=1000, dtype=dtype), 224
+
+
+def bench_model(name, model, image_size, batch, dtype):
+    from vit_tpu.parallel.train import cross_entropy_loss
+    from vit_tpu.utils.profiling import benchmark_throughput
+
+    img = jax.random.normal(jax.random.PRNGKey(1),
+                            (batch, image_size, image_size, 3), dtype)
+    labels = jnp.arange(batch) % 1000
+    variables = model.init(jax.random.PRNGKey(0), img)
+    has_bn = "batch_stats" in variables
+
+    fwd = jax.jit(lambda v, x: model.apply(v, x))
+    infer = benchmark_throughput(functools.partial(fwd, variables, img),
+                                 batch=batch)
+
+    tx = optax.sgd(1e-3)
+    opt_state = tx.init(variables)
+
+    @jax.jit
+    def train_step(variables, opt_state, img, labels):
+        def loss_fn(v):
+            if has_bn:
+                out, _ = model.apply(v, img, training=False,
+                                     mutable=["batch_stats"])
+            else:
+                out = model.apply(v, img)
+            if isinstance(out, tuple):
+                out = out[0]
+            return cross_entropy_loss(out, labels)
+
+        loss, grads = jax.value_and_grad(loss_fn)(variables)
+        updates, opt_state = tx.update(grads, opt_state)
+        return optax.apply_updates(variables, updates), opt_state, loss
+
+    state = [variables, opt_state]
+
+    def step_fn():
+        state[0], state[1], loss = train_step(state[0], state[1], img, labels)
+        return loss
+
+    train = benchmark_throughput(step_fn, batch=batch)
+    return {
+        "model": name,
+        "batch": batch,
+        "image_size": image_size,
+        "dtype": str(dtype.__name__ if hasattr(dtype, "__name__") else dtype),
+        "infer_images_per_sec_per_chip": round(infer["items_per_sec"], 1),
+        "train_images_per_sec_per_chip": round(train["items_per_sec"], 1),
+        "device": jax.devices()[0].device_kind,
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--only", type=str, default=None)
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--f32", action="store_true")
+    args = ap.parse_args()
+
+    dtype = jnp.float32 if args.f32 else jnp.bfloat16
+    registry = model_registry(dtype)
+    registry["regionvit"] = _regionvit(dtype)
+    names = (args.only.split(",") if args.only else list(registry))
+
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "results.jsonl")
+    with open(out_path, "a") as f:
+        for name in names:
+            model, image_size = registry[name]
+            t0 = time.time()
+            try:
+                row = bench_model(name, model, image_size, args.batch, dtype)
+                row["compile_s"] = round(time.time() - t0, 1)
+                print(json.dumps(row), flush=True)
+                f.write(json.dumps(row) + "\n")
+                f.flush()
+            except Exception as e:  # keep the matrix going
+                print(json.dumps({"model": name, "error": str(e)[:200]}),
+                      flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -370,3 +370,326 @@ def transplant_cct(tf_model, variables) -> dict:
     layernorm(p, "norm", clf.norm)
     dense(p, "fc", clf.fc)
     return v
+
+
+def channel_layernorm(params: dict, prefix: str, tf_ln) -> None:
+    """Reference channel LayerNorm (cvt.py:30-43): variables g, b."""
+    set_(params, f"{prefix}/g", t(tf_ln.g))
+    set_(params, f"{prefix}/b", t(tf_ln.b))
+
+
+def embedding(params: dict, prefix: str, tf_emb) -> None:
+    set_(params, f"{prefix}/embedding", t(tf_emb.embeddings))
+
+
+def transplant_levit(tf_model, variables) -> dict:
+    """TF reference LeViT (levit.py:164-226) → vit_tpu LeViT variables
+    (params + batch_stats)."""
+    v = to_mutable(variables)
+    p, bs = v["params"], v["batch_stats"]
+
+    for i, conv_layer in enumerate(tf_model.conv_embedding.layers):
+        conv(p, f"conv_embedding_{i}", conv_layer)
+
+    def do_attention(prefix, a):
+        conv(p, f"{prefix}/to_q", a.to_q.layers[0])
+        batchnorm(p, bs, f"{prefix}/to_q_bn", a.to_q.layers[1])
+        conv(p, f"{prefix}/to_k", a.to_k.layers[0])
+        batchnorm(p, bs, f"{prefix}/to_k_bn", a.to_k.layers[1])
+        conv(p, f"{prefix}/to_v", a.to_v.layers[0])
+        batchnorm(p, bs, f"{prefix}/to_v_bn", a.to_v.layers[1])
+        conv(p, f"{prefix}/to_out", a.to_out.layers[1])
+        batchnorm(p, bs, f"{prefix}/to_out_bn", a.to_out.layers[2])
+        embedding(p, f"{prefix}/pos_bias", a.pos_bias)
+
+    def do_transformer(prefix, tr):
+        for i, (a, m) in enumerate(tr.layers):
+            do_attention(f"{prefix}/attn_{i}", a)
+            conv(p, f"{prefix}/mlp_{i}/fc1", m.net.layers[0])
+            conv(p, f"{prefix}/mlp_{i}/fc2", m.net.layers[3])
+
+    stage = shrink = 0
+    for tr in tf_model.backbone.layers:
+        if tr.layers and tr.layers[0][0].to_q.layers[0].strides[0] == 2:
+            do_transformer(f"shrink_{shrink}", tr)
+            shrink += 1
+        else:
+            do_transformer(f"stage_{stage}", tr)
+            stage += 1
+
+    dense(p, "mlp_head", tf_model.mlp_head)
+    if hasattr(tf_model.distill_head, "kernel"):
+        dense(p, "distill_head", tf_model.distill_head)
+    return v
+
+
+def transplant_cvt(tf_model, variables) -> dict:
+    """TF reference CvT (cvt.py:149-202) → vit_tpu CvT variables."""
+    v = to_mutable(variables)
+    p, bs = v["params"], v["batch_stats"]
+
+    def do_dwconv(prefix, dw):
+        conv(p, f"{prefix}/depthwise", dw.net.layers[0])
+        batchnorm(p, bs, f"{prefix}/bn", dw.net.layers[1])
+        conv(p, f"{prefix}/pointwise", dw.net.layers[2])
+
+    for si, prefix in enumerate(("s1", "s2", "s3")):
+        stage_seq = tf_model.cvt_layers.layers[si]
+        conv(p, f"{prefix}_emb", stage_seq.layers[0])
+        channel_layernorm(p, f"{prefix}_norm", stage_seq.layers[1])
+        tr = stage_seq.layers[2]
+        tprefix = f"{prefix}_transformer"
+        for i, (pre_attn, pre_mlp) in enumerate(tr.layers):
+            channel_layernorm(p, f"{tprefix}/attn_norm_{i}", pre_attn.norm)
+            a = pre_attn.fn
+            do_dwconv(f"{tprefix}/attn_{i}/to_q", a.to_q)
+            do_dwconv(f"{tprefix}/attn_{i}/to_kv", a.to_kv)
+            conv(p, f"{tprefix}/attn_{i}/to_out", a.to_out.layers[0])
+            channel_layernorm(p, f"{tprefix}/mlp_norm_{i}", pre_mlp.norm)
+            conv(p, f"{tprefix}/mlp_fc1_{i}", pre_mlp.fn.net.layers[0])
+            conv(p, f"{tprefix}/mlp_fc2_{i}", pre_mlp.fn.net.layers[3])
+
+    head_seq = tf_model.cvt_layers.layers[3]
+    dense(p, "head", head_seq.layers[1])
+    return v
+
+
+def transplant_twins_svt(tf_model, variables) -> dict:
+    """TF reference TwinsSVT (twins_svt.py:215-268) → vit_tpu variables."""
+    v = to_mutable(variables)
+    p = v["params"]
+
+    def do_attn(prefix, a):
+        conv(p, f"{prefix}/to_q", a.to_q)
+        conv(p, f"{prefix}/to_kv", a.to_kv)
+        conv(p, f"{prefix}/to_out", a.to_out.layers[0])
+
+    def do_mlp(prefix, m):
+        conv(p, f"{prefix}/fc1", m.net.layers[0])
+        conv(p, f"{prefix}/fc2", m.net.layers[3])
+
+    def do_transformer(prefix, tr):
+        for i, (local, ff1, global_, ff2) in enumerate(tr.layers):
+            if hasattr(local, "fn"):  # Residual(PreNorm(...)), not Identity
+                channel_layernorm(p, f"{prefix}/local_norm_{i}", local.fn.norm)
+                do_attn(f"{prefix}/local_attn_{i}", local.fn.fn)
+                channel_layernorm(p, f"{prefix}/ff1_norm_{i}", ff1.fn.norm)
+                do_mlp(f"{prefix}/ff1_{i}", ff1.fn.fn)
+            channel_layernorm(p, f"{prefix}/global_norm_{i}", global_.fn.norm)
+            do_attn(f"{prefix}/global_attn_{i}", global_.fn.fn)
+            channel_layernorm(p, f"{prefix}/ff2_norm_{i}", ff2.fn.norm)
+            do_mlp(f"{prefix}/ff2_{i}", ff2.fn.fn)
+
+    for si, prefix in enumerate(("s1", "s2", "s3", "s4")):
+        stage = tf_model.svt_layers.layers[si]
+        conv(p, f"{prefix}_embed/proj", stage.layers[0].proj)
+        do_transformer(f"{prefix}_pre_transformer", stage.layers[1])
+        conv(p, f"{prefix}_peg/proj", stage.layers[2].proj.fn)
+        do_transformer(f"{prefix}_transformer", stage.layers[3])
+
+    dense(p, "head", tf_model.svt_layers.layers[4].layers[1])
+    return v
+
+
+def transplant_crossformer(tf_model, variables) -> dict:
+    """TF reference CrossFormer (crossformer.py:205-257) → vit_tpu variables."""
+    v = to_mutable(variables)
+    p = v["params"]
+
+    def do_attn(prefix, a):
+        channel_layernorm(p, f"{prefix}/norm", a.norm)
+        conv(p, f"{prefix}/to_qkv", a.to_qkv)
+        conv(p, f"{prefix}/to_out", a.to_out)
+        dpb = a.dpb.dpb_layers.layers
+        # Sequential: [Dense, LN, ReLU] ×3 then Dense(1), Rearrange
+        for i in range(3):
+            dense(p, f"{prefix}/dpb/fc{i}", dpb[i * 3])
+            layernorm(p, f"{prefix}/dpb/norm{i}", dpb[i * 3 + 1])
+        dense(p, f"{prefix}/dpb/out", dpb[9])
+
+    def do_mlp(prefix, m):
+        channel_layernorm(p, f"{prefix}/norm", m.net.layers[0])
+        conv(p, f"{prefix}/fc1", m.net.layers[1])
+        conv(p, f"{prefix}/fc2", m.net.layers[4])
+
+    for s, (cel, tr) in enumerate(tf_model.crossformer_layers):
+        for ci, c in enumerate(cel.convs):
+            conv(p, f"cel_{s}/conv_{ci}", c)
+        for i, (short_attn, short_ff, long_attn, long_ff) in enumerate(tr.layers):
+            do_attn(f"short_attn_{s}_{i}", short_attn)
+            do_mlp(f"short_ff_{s}_{i}", short_ff)
+            do_attn(f"long_attn_{s}_{i}", long_attn)
+            do_mlp(f"long_ff_{s}_{i}", long_ff)
+
+    dense(p, "head", tf_model.to_logits.layers[1])
+    return v
+
+
+def transplant_regionvit(tf_model, variables) -> dict:
+    """TF reference RegionViT (regionvit.py:184-263) → vit_tpu variables."""
+    v = to_mutable(variables)
+    p = v["params"]
+
+    enc = tf_model.local_encoder
+    if hasattr(enc, "layers"):  # tokenize_local_3_conv
+        conv(p, "local_conv0", enc.layers[0])
+        layernorm(p, "local_norm0", enc.layers[1])
+        conv(p, "local_conv1", enc.layers[3])
+        layernorm(p, "local_norm1", enc.layers[4])
+        conv(p, "local_conv2", enc.layers[6])
+    else:
+        conv(p, "local_encoder", enc)
+    conv(p, "region_encoder", tf_model.region_encoder.layers[1])
+
+    for ind, (down, peg, tr) in enumerate(tf_model.region_layers):
+        if hasattr(down, "conv"):
+            conv(p, f"downsample_{ind}", down.conv)
+        if hasattr(peg, "proj"):
+            conv(p, f"peg_{ind}", peg.proj)
+        tprefix = f"transformer_{ind}"
+        embedding(p, f"{tprefix}/local_rel_pos_bias", tr.local_rel_pos_bias)
+        for i, (attn, ff) in enumerate(tr.layers):
+            layernorm(p, f"{tprefix}/attn_{i}/norm", attn.norm)
+            dense(p, f"{tprefix}/attn_{i}/to_qkv", attn.to_qkv)
+            dense(p, f"{tprefix}/attn_{i}/to_out", attn.to_out)
+            layernorm(p, f"{tprefix}/ff_{i}/norm", ff.net.layers[0])
+            dense(p, f"{tprefix}/ff_{i}/fc1", ff.net.layers[1])
+            dense(p, f"{tprefix}/ff_{i}/fc2", ff.net.layers[4])
+
+    layernorm(p, "head_norm", tf_model.to_logits.layers[1])
+    dense(p, "head", tf_model.to_logits.layers[2])
+    return v
+
+
+def transplant_scalable_vit(tf_model, variables) -> dict:
+    """TF reference ScalableViT (scalable_vit.py:250-319) → vit_tpu variables.
+    Works with the §8.3-patched reference (paper block order)."""
+    v = to_mutable(variables)
+    p = v["params"]
+    conv(p, "to_patches", tf_model.to_patches)
+
+    def do_ssa(prefix, a):
+        conv(p, f"{prefix}/to_q", a.to_q)
+        conv(p, f"{prefix}/to_k", a.to_k)
+        conv(p, f"{prefix}/to_v", a.to_v)
+        conv(p, f"{prefix}/to_out", a.to_out.layers[0])
+
+    def do_iwsa(prefix, a):
+        conv(p, f"{prefix}/to_q", a.to_q)
+        conv(p, f"{prefix}/to_k", a.to_k)
+        conv(p, f"{prefix}/to_v", a.to_v)
+        conv(p, f"{prefix}/local_interactive_module", a.local_interactive_module)
+        conv(p, f"{prefix}/to_out", a.to_out.layers[0])
+
+    def do_mlp(prefix, m):
+        conv(p, f"{prefix}/fc1", m.net.layers[0])
+        conv(p, f"{prefix}/fc2", m.net.layers[3])
+
+    for s, (tr, down) in enumerate(tf_model.scalable_layers):
+        sp = f"stage_{s}"
+        for ind, (ssa, ff1, peg, ff2, iwsa) in enumerate(tr.layers):
+            channel_layernorm(p, f"{sp}/ssa_norm_{ind}", ssa.norm)
+            do_ssa(f"{sp}/ssa_{ind}", ssa.fn)
+            channel_layernorm(p, f"{sp}/ff1_norm_{ind}", ff1.norm)
+            do_mlp(f"{sp}/ff1_{ind}", ff1.fn)
+            if peg is not None:
+                conv(p, f"{sp}/peg", peg.proj)
+            channel_layernorm(p, f"{sp}/iwsa_norm_{ind}", iwsa.norm)
+            do_iwsa(f"{sp}/iwsa_{ind}", iwsa.fn)
+            channel_layernorm(p, f"{sp}/ff2_norm_{ind}", ff2.norm)
+            do_mlp(f"{sp}/ff2_{ind}", ff2.fn)
+        channel_layernorm(p, f"{sp}/norm", tr.norm)
+        if down is not None:
+            conv(p, f"downsample_{s}", down.conv)
+
+    layernorm(p, "head_norm", tf_model.mlp_head.layers[1])
+    dense(p, "head", tf_model.mlp_head.layers[2])
+    return v
+
+
+def transplant_nest(tf_model, variables) -> dict:
+    """TF reference NesT (nest.py:150-216) → vit_tpu variables."""
+    v = to_mutable(variables)
+    p = v["params"]
+    conv(p, "patch_embedding", tf_model.patch_embedding.layers[1])
+    for idx, (tr, agg) in enumerate(tf_model.nest_layers):
+        tprefix = f"transformer_{idx}"
+        set_(p, f"{tprefix}/pos_emb", t(tr.pos_emb))
+        for i, (pre_attn, pre_mlp) in enumerate(tr.layers):
+            channel_layernorm(p, f"{tprefix}/attn_norm_{i}", pre_attn.norm)
+            conv(p, f"{tprefix}/attn_{i}/to_qkv", pre_attn.fn.to_qkv)
+            conv(p, f"{tprefix}/attn_{i}/to_out", pre_attn.fn.to_out.layers[0])
+            channel_layernorm(p, f"{tprefix}/mlp_norm_{i}", pre_mlp.norm)
+            conv(p, f"{tprefix}/mlp_fc1_{i}", pre_mlp.fn.net.layers[0])
+            conv(p, f"{tprefix}/mlp_fc2_{i}", pre_mlp.fn.net.layers[3])
+        if hasattr(agg, "ag_layers"):
+            conv(p, f"aggregate_conv_{idx}", agg.ag_layers.layers[0])
+            channel_layernorm(p, f"aggregate_norm_{idx}", agg.ag_layers.layers[1])
+    channel_layernorm(p, "head_norm", tf_model.mlp_head.layers[0])
+    dense(p, "head", tf_model.mlp_head.layers[2])
+    return v
+
+
+def transplant_mobile_vit(tf_model, variables) -> dict:
+    """TF reference MobileViT (mobile_vit.py:209-271) → vit_tpu variables."""
+    v = to_mutable(variables)
+    p, bs = v["params"], v["batch_stats"]
+
+    def do_conv_bn(prefix, cnb):
+        conv(p, f"{prefix}/conv", cnb.layers.layers[0])
+        batchnorm(p, bs, f"{prefix}/bn", cnb.layers.layers[1])
+
+    def do_mv2(prefix, blk):
+        seq = blk.conv.layers
+        if len(seq) == 5:  # expansion == 1
+            conv(p, f"{prefix}/dw", seq[0])
+            batchnorm(p, bs, f"{prefix}/dw_bn", seq[1])
+            conv(p, f"{prefix}/pw_linear", seq[3])
+            batchnorm(p, bs, f"{prefix}/pw_linear_bn", seq[4])
+        else:
+            conv(p, f"{prefix}/pw", seq[0])
+            batchnorm(p, bs, f"{prefix}/pw_bn", seq[1])
+            conv(p, f"{prefix}/dw", seq[3])
+            batchnorm(p, bs, f"{prefix}/dw_bn", seq[4])
+            conv(p, f"{prefix}/pw_linear", seq[6])
+            batchnorm(p, bs, f"{prefix}/pw_linear_bn", seq[7])
+
+    do_conv_bn("conv1", tf_model.conv1)
+    for i, blk in enumerate(tf_model.stem.layers):
+        do_mv2(f"stem_{i}", blk)
+    for i, (mv2, mvit) in enumerate(tf_model.trunk):
+        do_mv2(f"trunk_conv_{i}", mv2)
+        bprefix = f"trunk_attn_{i}"
+        do_conv_bn(f"{bprefix}/conv1", mvit.conv1)
+        do_conv_bn(f"{bprefix}/conv2", mvit.conv2)
+        for j, (pre_attn, pre_mlp) in enumerate(mvit.transformer.layers):
+            layernorm(p, f"{bprefix}/attn_norm_{j}", pre_attn.norm)
+            dense(p, f"{bprefix}/attn_{j}/to_qkv", pre_attn.fn.to_qkv)
+            dense(p, f"{bprefix}/attn_{j}/to_out", pre_attn.fn.to_out.layers[0])
+            layernorm(p, f"{bprefix}/mlp_norm_{j}", pre_mlp.norm)
+            dense(p, f"{bprefix}/mlp_fc1_{j}", pre_mlp.fn.net.layers[0])
+            dense(p, f"{bprefix}/mlp_fc2_{j}", pre_mlp.fn.net.layers[3])
+        do_conv_bn(f"{bprefix}/conv3", mvit.conv3)
+        do_conv_bn(f"{bprefix}/conv4", mvit.conv4)
+    do_conv_bn("to_logits_conv", tf_model.to_logits.layers[0])
+    dense(p, "head", tf_model.to_logits.layers[2])
+    return v
+
+
+def transplant_ats_vit(tf_model, variables) -> dict:
+    """TF reference ATS-ViT (ats_vit.py:260-318) → vit_tpu variables."""
+    v = to_mutable(variables)
+    p = v["params"]
+    dense(p, "patch_embedding", tf_model.patch_embedding.layers[1])
+    set_(p, "cls_token", t(tf_model.cls_token))
+    set_(p, "pos_embedding", t(tf_model.pos_embedding))
+    for i, (pre_attn, pre_mlp) in enumerate(tf_model.transformer.layers):
+        layernorm(p, f"transformer/attn_norm_{i}", pre_attn.norm)
+        a = pre_attn.fn
+        dense(p, f"transformer/attn_{i}/to_qkv", a.to_qkv)
+        dense(p, f"transformer/attn_{i}/to_out", a.to_out.layers[0])
+        layernorm(p, f"transformer/mlp_norm_{i}", pre_mlp.norm)
+        transplant_mlp(p, f"transformer/mlp_{i}", pre_mlp.fn)
+    layernorm(p, "head_norm", tf_model.mlp_head.layers[0])
+    dense(p, "head", tf_model.mlp_head.layers[1])
+    return v

@@ -1,0 +1,211 @@
+"""CrossFormer — cross-scale embedding + alternating short/long-distance
+attention with MLP-computed dynamic position bias
+(parity target: reference crossformer.py:205-257).
+
+Cross-scale embedding concatenates parallel convs with different kernels,
+splitting the dim geometrically (crossformer.py:30-48).  Blocks alternate
+short (windowed) and long (dilated-window) attention via pure layout
+rearranges into the batch dim (crossformer.py:143-146).  The dynamic
+position bias MLP is evaluated per call on the (2w+1)² continuous relative
+coordinates and gathered on-device — the reference's ``.numpy()`` gather
+(crossformer.py:163) breaks graph mode and gradients (SURVEY.md §8.5); here
+it is a jit-safe ``jnp`` gather and gradients flow into the DPB MLP.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from einops import rearrange
+from flax import linen as nn
+
+from vit_tpu.core.helpers import cast_tuple
+from vit_tpu.layers.common import (ChannelLayerNorm, Conv, Dense, LayerNorm,
+                                   gelu_exact)
+
+
+class CrossEmbedLayer(nn.Module):
+    """Reference crossformer.py:30-48."""
+
+    dim: int
+    kernel_sizes: Tuple[int, ...]
+    stride: int = 2
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        kernel_sizes = sorted(self.kernel_sizes)
+        num_scales = len(kernel_sizes)
+        dim_scales = [int(self.dim / (2 ** i)) for i in range(1, num_scales)]
+        dim_scales = [*dim_scales, self.dim - sum(dim_scales)]
+
+        fmaps = []
+        for i, (kernel, dim_scale) in enumerate(zip(kernel_sizes, dim_scales)):
+            fmaps.append(Conv(dim_scale, (kernel, kernel), strides=self.stride,
+                              padding="SAME", dtype=self.dtype,
+                              name=f"conv_{i}")(x))
+        return jnp.concatenate(fmaps, axis=-1)
+
+
+class DynamicPositionBias(nn.Module):
+    """3×[Dense-LN-ReLU] → Dense(1) over continuous relative coords
+    (reference crossformer.py:51-71)."""
+
+    dim: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        for i in range(3):
+            x = Dense(self.dim, dtype=self.dtype, name=f"fc{i}")(x)
+            x = LayerNorm(dtype=self.dtype, name=f"norm{i}")(x)
+            x = nn.relu(x)
+        x = Dense(1, dtype=self.dtype, name="out")(x)
+        return jnp.squeeze(x, axis=-1)
+
+
+class CrossFormerAttention(nn.Module):
+    """Short (windowed) or long (dilated) attention (crossformer.py:104-180)."""
+
+    dim: int
+    attn_type: str
+    window_size: int
+    dim_head: int = 32
+    dropout: float = 0.0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        assert self.attn_type in {"short", "long"}, \
+            "attention type must be one of local or distant"
+        heads = self.dim // self.dim_head
+        inner_dim = self.dim_head * heads
+        wsz = self.window_size
+        _, height, width, _ = x.shape
+
+        x = ChannelLayerNorm(self.dim, name="norm")(x)
+
+        if self.attn_type == "short":
+            x = rearrange(x, "b (h s1) (w s2) d -> (b h w) s1 s2 d",
+                          s1=wsz, s2=wsz)
+        else:
+            x = rearrange(x, "b (l1 h) (l2 w) d -> (b h w) l1 l2 d",
+                          l1=wsz, l2=wsz)
+
+        qkv = Conv(inner_dim * 3, (1, 1), use_bias=False, dtype=self.dtype,
+                   name="to_qkv")(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q, k, v = map(
+            lambda t: rearrange(t, "b x y (h d) -> b h (x y) d", h=heads),
+            (q, k, v),
+        )
+        q = q * (self.dim_head ** -0.5)
+        sim = jnp.einsum("bhid,bhjd->bhij", q, k,
+                         preferred_element_type=jnp.float32)
+
+        # dynamic position bias, gathered on-device (§8.5 fix)
+        pos = np.arange(-wsz, wsz + 1)
+        rel_coords = np.stack(np.meshgrid(pos, pos, indexing="ij"),
+                              axis=0).reshape(2, -1).T  # ((2w+1)², 2)
+        grid = np.stack(np.meshgrid(np.arange(wsz), np.arange(wsz),
+                                    indexing="ij"), axis=0).reshape(2, -1).T
+        rel_pos = grid[:, None] - grid[None, :] + wsz - 1
+        rel_pos_indices = (rel_pos * np.array([2 * wsz - 1, 1])).sum(-1)
+
+        biases = DynamicPositionBias(self.dim // 4, dtype=self.dtype,
+                                     name="dpb")(
+            jnp.asarray(rel_coords, jnp.float32))
+        rel_pos_bias = biases[jnp.asarray(rel_pos_indices)]
+        sim = sim + rel_pos_bias.astype(sim.dtype)
+
+        attn = jax.nn.softmax(sim, axis=-1)
+        out = jnp.einsum("bhij,bhjd->bhid", attn.astype(v.dtype), v,
+                         preferred_element_type=jnp.float32).astype(v.dtype)
+        out = rearrange(out, "b h (x y) d -> b x y (h d)", x=wsz, y=wsz)
+        out = Conv(self.dim, (1, 1), dtype=self.dtype, name="to_out")(out)
+
+        if self.attn_type == "short":
+            out = rearrange(out, "(b h w) s1 s2 d -> b (h s1) (w s2) d",
+                            h=height // wsz, w=width // wsz)
+        else:
+            out = rearrange(out, "(b h w) l1 l2 d -> b (l1 h) (l2 w) d",
+                            h=height // wsz, w=width // wsz)
+        return out
+
+
+class CrossFormerMLP(nn.Module):
+    """LN-inside MLP (reference crossformer.py:89-102)."""
+
+    dim: int
+    mult: int = 4
+    dropout: float = 0.0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, training: bool = False):
+        x = ChannelLayerNorm(self.dim, name="norm")(x)
+        x = Conv(self.dim * self.mult, (1, 1), dtype=self.dtype, name="fc1")(x)
+        x = gelu_exact(x)
+        x = nn.Dropout(self.dropout)(x, deterministic=not training)
+        x = Conv(self.dim, (1, 1), dtype=self.dtype, name="fc2")(x)
+        return x
+
+
+class CrossFormer(nn.Module):
+    """Constructor parity: reference crossformer.py:206-216."""
+
+    dim: Union[int, Tuple[int, ...]] = (64, 128, 256, 512)
+    depth: Union[int, Tuple[int, ...]] = (2, 2, 8, 2)
+    global_window_size: Union[int, Tuple[int, ...]] = (8, 4, 2, 1)
+    local_window_size: Union[int, Tuple[int, ...]] = 7
+    cross_embed_kernel_sizes: Tuple = ((4, 8, 16, 32), (2, 4), (2, 4), (2, 4))
+    cross_embed_strides: Union[int, Tuple[int, ...]] = (4, 2, 2, 2)
+    num_classes: int = 1000
+    attn_dropout: float = 0.0
+    ff_dropout: float = 0.0
+    dtype: Any = jnp.float32
+
+    def __post_init__(self):
+        super().__post_init__()
+        for name in ("dim", "depth", "global_window_size", "local_window_size",
+                     "cross_embed_kernel_sizes", "cross_embed_strides"):
+            assert len(cast_tuple(getattr(self, name), 4)) == 4
+
+    @nn.compact
+    def __call__(self, x: jax.Array, training: bool = False) -> jax.Array:
+        dims = cast_tuple(self.dim, 4)
+        depths = cast_tuple(self.depth, 4)
+        g_wsz = cast_tuple(self.global_window_size, 4)
+        l_wsz = cast_tuple(self.local_window_size, 4)
+        cel_kernels = cast_tuple(self.cross_embed_kernel_sizes, 4)
+        cel_strides = cast_tuple(self.cross_embed_strides, 4)
+
+        for s, (dim_out, layers, gw, lw, ks, st) in enumerate(
+                zip(dims, depths, g_wsz, l_wsz, cel_kernels, cel_strides)):
+            x = CrossEmbedLayer(dim_out, ks, stride=st, dtype=self.dtype,
+                                name=f"cel_{s}")(x, training=training)
+            for i in range(layers):
+                h = CrossFormerAttention(
+                    dim_out, attn_type="short", window_size=lw,
+                    dropout=self.attn_dropout, dtype=self.dtype,
+                    name=f"short_attn_{s}_{i}")(x, training=training)
+                x = x + h
+                h = CrossFormerMLP(dim_out, dropout=self.ff_dropout,
+                                   dtype=self.dtype, name=f"short_ff_{s}_{i}")(
+                    x, training=training)
+                x = x + h
+                h = CrossFormerAttention(
+                    dim_out, attn_type="long", window_size=gw,
+                    dropout=self.attn_dropout, dtype=self.dtype,
+                    name=f"long_attn_{s}_{i}")(x, training=training)
+                x = x + h
+                h = CrossFormerMLP(dim_out, dropout=self.ff_dropout,
+                                   dtype=self.dtype, name=f"long_ff_{s}_{i}")(
+                    x, training=training)
+                x = x + h
+
+        x = jnp.mean(x, axis=(1, 2))
+        return Dense(self.num_classes, dtype=self.dtype, name="head")(x)

@@ -4,6 +4,11 @@ Same public constructor kwargs as the reference (vit.py:107-108); the forward
 is one jit-compiled function: strided-reshape patch embedding fused into the
 embedding GEMM, pre-norm encoder over the shared flash-attention op, cls/mean
 pooling, LayerNorm+Dense head.
+
+Unlike the reference — whose self-supervised wrappers spelunk encoder
+attributes (SURVEY.md §3.2) — this ViT exposes an explicit encoder protocol
+(:meth:`to_patch`, :meth:`patch_to_emb`, ``.pos_embedding``/``.cls_token``
+params and the ``.transformer`` submodule) that MAE/SimMIM/MPP build on.
 """
 
 from __future__ import annotations
@@ -45,39 +50,55 @@ class ViT(nn.Module):
         assert self.pool in {"cls", "mean"}, \
             "pool type must be either cls (cls token) or mean (mean pooling)"
 
-    @nn.compact
-    def __call__(self, img: jax.Array, training: bool = False) -> jax.Array:
-        patch_height, patch_width = pair(self.patch_size)
-        image_height, image_width = pair(self.image_size)
-        num_patches = (image_height // patch_height) * (image_width // patch_width)
+    @property
+    def num_patches(self) -> int:
+        ih, iw = pair(self.image_size)
+        ph, pw = pair(self.patch_size)
+        return (ih // ph) * (iw // pw)
 
-        x = patchify(img, patch_height, patch_width)
-        x = Dense(self.dim, dtype=self.dtype, name="patch_embedding")(x)
-        b, n, _ = x.shape
-
-        cls_token = self.param(
-            "cls_token", nn.initializers.normal(1.0), (1, 1, self.dim)
-        )
-        pos_embedding = self.param(
+    def setup(self):
+        self.patch_embedding = Dense(self.dim, dtype=self.dtype,
+                                     name="patch_embedding")
+        self.cls_token = self.param(
+            "cls_token", nn.initializers.normal(1.0), (1, 1, self.dim))
+        self.pos_embedding = self.param(
             "pos_embedding", nn.initializers.normal(1.0),
-            (1, num_patches + 1, self.dim),
-        )
-
-        cls_tokens = repeat(cls_token.astype(x.dtype), "() n d -> b n d", b=b)
-        x = jnp.concatenate([cls_tokens, x], axis=1)
-        x = x + pos_embedding[:, : (n + 1)].astype(x.dtype)
-        x = nn.Dropout(self.emb_dropout)(x, deterministic=not training)
-
-        x = Transformer(
+            (1, self.num_patches + 1, self.dim))
+        self.emb_dropout_layer = nn.Dropout(self.emb_dropout)
+        self.transformer = Transformer(
             self.dim, self.depth, self.heads, self.dim_head, self.mlp_dim,
-            dropout=self.dropout, dtype=self.dtype, name="transformer",
-        )(x, training=training)
+            dropout=self.dropout, dtype=self.dtype, name="transformer")
+        self.head_norm = LayerNorm(dtype=self.dtype, name="head_norm")
+        self.head = Dense(self.num_classes, dtype=self.dtype, name="head")
+
+    # --- encoder protocol (used by MAE / SimMIM / MPP) -------------------
+    def to_patch(self, img: jax.Array) -> jax.Array:
+        """Pixels → (b, n, p²·c) patch vectors (reference vit.py:142)."""
+        ph, pw = pair(self.patch_size)
+        return patchify(img, ph, pw)
+
+    def patch_to_emb(self, patches: jax.Array) -> jax.Array:
+        """Patch vectors → tokens via the embedding GEMM."""
+        return self.patch_embedding(patches)
+
+    # ---------------------------------------------------------------------
+    def embed(self, img: jax.Array, training: bool = False) -> jax.Array:
+        """Shared embed path: patchify → embed → +CLS → +pos → dropout."""
+        x = self.patch_to_emb(self.to_patch(img))
+        b, n, _ = x.shape
+        cls_tokens = repeat(self.cls_token.astype(x.dtype),
+                            "() n d -> b n d", b=b)
+        x = jnp.concatenate([cls_tokens, x], axis=1)
+        x = x + self.pos_embedding[:, : (n + 1)].astype(x.dtype)
+        return self.emb_dropout_layer(x, deterministic=not training)
+
+    def __call__(self, img: jax.Array, training: bool = False) -> jax.Array:
+        x = self.embed(img, training=training)
+        x = self.transformer(x, training=training)
 
         if self.pool == "mean":
             x = jnp.mean(x, axis=1)
         else:
             x = x[:, 0]
 
-        x = LayerNorm(dtype=self.dtype, name="head_norm")(x)
-        x = Dense(self.num_classes, dtype=self.dtype, name="head")(x)
-        return x
+        return self.head(self.head_norm(x))
