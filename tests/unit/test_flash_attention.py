@@ -1,0 +1,55 @@
+"""Flash-attention kernel correctness (interpret mode on CPU) and
+dispatch-gate behavior."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vit_tpu.ops import flash_attention as fa
+from vit_tpu.ops.attention import _xla_attention, scaled_dot_product_attention
+
+
+@pytest.mark.parametrize("n,d", [(64, 64), (197, 64), (256, 128)])
+def test_flash_matches_xla_interpret(n, d):
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, h = 2, 3
+    q = jax.random.normal(jax.random.PRNGKey(0), (b, h, n, d))
+    k = jax.random.normal(jax.random.PRNGKey(1), (b, h, n, d))
+    v = jax.random.normal(jax.random.PRNGKey(2), (b, h, n, d))
+    scale = d ** -0.5
+    ref = _xla_attention(q, k, v, scale=scale)
+    with pltpu.force_tpu_interpret_mode():
+        out = fa._flash_forward(q, k, v, scale)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_flash_backward_matches_xla():
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, h, n, d = 1, 2, 64, 64
+    q = jax.random.normal(jax.random.PRNGKey(0), (b, h, n, d))
+    k = jax.random.normal(jax.random.PRNGKey(1), (b, h, n, d))
+    v = jax.random.normal(jax.random.PRNGKey(2), (b, h, n, d))
+    scale = d ** -0.5
+
+    def loss_ref(q, k, v):
+        return jnp.sum(_xla_attention(q, k, v, scale=scale) ** 2)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(fa.flash_attention(q, k, v, scale) ** 2)
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    with pltpu.force_tpu_interpret_mode():
+        g_fl = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(g_ref, g_fl):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=5e-5)
+
+
+def test_dispatch_gate_uses_xla_on_cpu():
+    # On the CPU test backend the kernel is unavailable — the public op must
+    # silently fall back to XLA.
+    q = jax.random.normal(jax.random.PRNGKey(0), (1, 2, 32, 64))
+    out = scaled_dot_product_attention(q, q, q)
+    assert out.shape == q.shape

@@ -31,8 +31,12 @@ def _use_flash(q, bias, mask) -> bool:
     if not fa.flash_attention_available():
         return False
     b, h, n, d = q.shape
-    # The flash kernel needs lane-aligned head dims and enough rows to tile.
-    return d % 128 == 0 and n >= 256 and bias is None and mask is None
+    # Measured on v5e: at short ViT sequences the XLA path (with the
+    # bf16-stored softmax) wins; the flash kernel pays off once the
+    # materialized n² matrix dominates HBM traffic (1.15×/1.55× at
+    # n=2048/4096).  Above 4096 the current whole-K VMEM residency
+    # overflows — XLA until the kernel streams K/V per block.
+    return d % 64 == 0 and 2048 <= n <= 4096 and bias is None and mask is None
 
 
 def scaled_dot_product_attention(
@@ -77,10 +81,21 @@ def _xla_attention(q, k, v, *, scale, bias=None, mask=None):
         logits = logits + bias.astype(jnp.float32)
     if mask is not None:
         logits = jnp.where(mask, logits, mask_value(logits.dtype))
-    attn = jax.nn.softmax(logits, axis=-1)
+
+    if out_dtype == jnp.bfloat16:
+        # Half-traffic softmax for the production dtype: the materialized
+        # n×n matrix is the HBM bottleneck at ViT sequence lengths (profiled
+        # at ~half the device time of a B/16 forward when stored f32).
+        # exp still accumulates through f32; f32 models keep the exact path.
+        logits = logits.astype(jnp.bfloat16)
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        e = jnp.exp((logits - m).astype(jnp.float32)).astype(jnp.bfloat16)
+        attn = e / jnp.sum(e, axis=-1, keepdims=True).astype(jnp.bfloat16)
+    else:
+        attn = jax.nn.softmax(logits, axis=-1).astype(out_dtype)
+
     out = jnp.einsum(
-        "bhij,bhjd->bhid", attn.astype(q.dtype), v,
-        preferred_element_type=jnp.float32,
+        "bhij,bhjd->bhid", attn, v, preferred_element_type=jnp.float32,
     )
     return out.astype(out_dtype)
 

@@ -31,8 +31,10 @@ try:  # pallas requires a TPU-capable jaxlib; degrade gracefully elsewhere
 except Exception:  # pragma: no cover
     _PALLAS_OK = False
 
-BLOCK_Q = 128
-BLOCK_K = 128
+# Tuned on v5e (see benchmarks): big K blocks win — one full-K pass when it
+# fits VMEM (block_q×block_k f32 scores ≤ 4MB), online recurrence beyond.
+BLOCK_Q = 256
+BLOCK_K = 4096
 
 _NEG_INF = -jnp.finfo(jnp.float32).max
 
@@ -97,14 +99,19 @@ def flash_attention(q, k, v, scale=None):
     return _flash_forward(q, k, v, scale)
 
 
-def _flash_forward(q, k, v, scale):
+def _flash_forward(q, k, v, scale, block_q=None, block_k=None):
     if scale is None:
         scale = q.shape[-1] ** -0.5
     b, h, n_q, d = q.shape
     n_k = k.shape[2]
 
-    block_q = min(BLOCK_Q, max(8, n_q))
-    block_k = BLOCK_K
+    block_q = block_q or min(BLOCK_Q, max(8, n_q))
+    block_k = block_k or min(BLOCK_K, -(-n_k // 128) * 128)
+    assert n_k <= 4096, (
+        "flash_attention currently keeps full K/V VMEM-resident per program "
+        f"(n_k={n_k} > 4096 exhausts VMEM) — use the XLA attention path, or "
+        "stream K/V blocks (planned)"
+    )
 
     qp = _pad_seq(q, block_q)
     kp = _pad_seq(k, block_k)
