@@ -72,6 +72,34 @@ def _regionvit(dtype):
     return RegionViT(num_classes=1000, dtype=dtype), 224
 
 
+def _extras(dtype):
+    from vit_tpu import CCT, ScalableViT
+    from vit_tpu.models import ats_vit, vit_for_small_dataset,         vit_with_patch_merger
+
+    return {
+        "cct_14": (CCT(img_size=224, embedding_dim=384, n_conv_layers=2,
+                       kernel_size=7, stride=2, num_layers=14, num_heads=6,
+                       mlp_ratio=3.0, num_classes=1000,
+                       positional_embedding="learnable", dtype=dtype), 224),
+        "scalable_vit": (ScalableViT(
+            num_classes=1000, dim=64, heads=(2, 4, 8, 16),
+            depth=(2, 2, 8, 2), ssa_dim_key=(40, 40, 40, 32),
+            reduction_factor=(8, 4, 2, 1), window_size=(64, 32, None, None),
+            dtype=dtype), 256),
+        "ats_vit": (ats_vit.ViT(
+            image_size=256, patch_size=16, num_classes=1000, dim=1024,
+            depth=6, max_tokens_per_depth=(256, 128, 64, 32, 16, 8),
+            heads=16, mlp_dim=2048, dtype=dtype), 256),
+        "small_dataset_vit": (vit_for_small_dataset.ViT(
+            image_size=256, patch_size=16, num_classes=1000, dim=1024,
+            depth=6, heads=16, mlp_dim=2048, dtype=dtype), 256),
+        "patch_merger_vit": (vit_with_patch_merger.ViT(
+            image_size=256, patch_size=16, num_classes=1000, dim=1024,
+            depth=12, heads=8, patch_merge_layer=6, mlp_dim=2048,
+            dtype=dtype), 256),
+    }
+
+
 def bench_model(name, model, image_size, batch, dtype):
     from vit_tpu.parallel.train import cross_entropy_loss
     from vit_tpu.utils.profiling import benchmark_throughput
@@ -133,6 +161,7 @@ def main():
     dtype = jnp.float32 if args.f32 else jnp.bfloat16
     registry = model_registry(dtype)
     registry["regionvit"] = _regionvit(dtype)
+    registry.update(_extras(dtype))
     names = (args.only.split(",") if args.only else list(registry))
 
     out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),

@@ -1,0 +1,36 @@
+"""Render benchmarks/results.jsonl as a markdown table (BENCHMARKS.md)."""
+
+import json
+import os
+import sys
+
+
+def main():
+    here = os.path.dirname(os.path.abspath(__file__))
+    path = sys.argv[1] if len(sys.argv) > 1 else os.path.join(
+        here, "results.jsonl")
+    rows = [json.loads(l) for l in open(path) if l.strip()]
+    rows = {r["model"]: r for r in rows if "error" not in r}.values()
+
+    lines = [
+        "# Benchmarks",
+        "",
+        f"Single chip ({next(iter(rows))['device']}), bf16 compute / f32 "
+        "params, steady-state amortized throughput.",
+        "",
+        "| model | image | batch | infer img/s | train (fwd+bwd) img/s |",
+        "|---|---|---|---|---|",
+    ]
+    for r in sorted(rows, key=lambda r: -r["infer_images_per_sec_per_chip"]):
+        lines.append(
+            f"| {r['model']} | {r['image_size']} | {r['batch']} | "
+            f"{r['infer_images_per_sec_per_chip']:.0f} | "
+            f"{r['train_images_per_sec_per_chip']:.0f} |")
+    out = os.path.join(here, "BENCHMARKS.md")
+    with open(out, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print(out)
+
+
+if __name__ == "__main__":
+    main()

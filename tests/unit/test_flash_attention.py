@@ -53,3 +53,20 @@ def test_dispatch_gate_uses_xla_on_cpu():
     q = jax.random.normal(jax.random.PRNGKey(0), (1, 2, 32, 64))
     out = scaled_dot_product_attention(q, q, q)
     assert out.shape == q.shape
+
+
+@pytest.mark.parametrize("n,d,bq,bk", [(300, 64, 128, 128), (512, 128, 256, 256)])
+def test_flash_v2_matches_xla_interpret(n, d, bq, bk):
+    from jax.experimental.pallas import tpu as pltpu
+
+    from vit_tpu.ops.flash_attention_v2 import flash_attention_v2
+
+    b, h = 2, 2
+    q = jax.random.normal(jax.random.PRNGKey(0), (b, h, n, d))
+    k = jax.random.normal(jax.random.PRNGKey(1), (b, h, n, d))
+    v = jax.random.normal(jax.random.PRNGKey(2), (b, h, n, d))
+    scale = d ** -0.5
+    ref = _xla_attention(q, k, v, scale=scale)
+    with pltpu.force_tpu_interpret_mode():
+        out = flash_attention_v2(q, k, v, scale, block_q=bq, block_k=bk)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
