@@ -32,11 +32,11 @@ def _use_flash(q, bias, mask) -> bool:
         return False
     b, h, n, d = q.shape
     # Measured on v5e: at short ViT sequences the XLA path (with the
-    # bf16-stored softmax) wins; the flash kernel pays off once the
-    # materialized n² matrix dominates HBM traffic (1.15×/1.55× at
-    # n=2048/4096).  Above 4096 the current whole-K VMEM residency
-    # overflows — XLA until the kernel streams K/V per block.
-    return d % 64 == 0 and 2048 <= n <= 4096 and bias is None and mask is None
+    # bf16-stored softmax) wins; the flash kernels pay off once the
+    # materialized n² attention matrix dominates HBM traffic — v1
+    # (whole-K VMEM residency) 1.15×/1.55× at n=2048/4096, v2
+    # (grid-streamed K/V) 1.9× at n=8192 and unbounded n.
+    return d % 64 == 0 and n >= 2048 and bias is None and mask is None
 
 
 def scaled_dot_product_attention(
@@ -64,6 +64,12 @@ def scaled_dot_product_attention(
         scale = q.shape[-1] ** -0.5
 
     if use_flash != "never" and (use_flash == "force" or _use_flash(q, bias, mask)):
+        n = q.shape[2]
+        if n > 4096:
+            # grid-streamed K/V kernel: unbounded n, 1.9× over XLA at n=8192
+            from vit_tpu.ops.flash_attention_v2 import flash_attention_v2
+
+            return flash_attention_v2(q, k, v, scale=scale)
         from vit_tpu.ops import flash_attention as fa
 
         return fa.flash_attention(q, k, v, scale=scale)

@@ -69,7 +69,32 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *,
             o_ref.dtype)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def flash_attention_v2(q, k, v, scale=None, block_q=BLOCK_Q, block_k=BLOCK_K):
+    return _forward(q, k, v, scale, block_q, block_k)
+
+
+def _xla_ref(q, k, v, scale):
+    logits = jnp.einsum("bhid,bhjd->bhij", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    attn = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bhij,bhjd->bhid", attn.astype(q.dtype), v,
+                     preferred_element_type=jnp.float32)
+    return out.astype(q.dtype)
+
+
+def _fwd(q, k, v, scale, block_q, block_k):
+    return _forward(q, k, v, scale, block_q, block_k), (q, k, v)
+
+
+def _bwd(scale, block_q, block_k, res, g):
+    q, k, v = res
+    s = q.shape[-1] ** -0.5 if scale is None else scale
+    _, vjp = jax.vjp(lambda q_, k_, v_: _xla_ref(q_, k_, v_, s), q, k, v)
+    return vjp(g)
+
+
+def _forward(q, k, v, scale=None, block_q=BLOCK_Q, block_k=BLOCK_K):
     if scale is None:
         scale = q.shape[-1] ** -0.5
     b, h, n_q, d = q.shape
@@ -115,3 +140,6 @@ def flash_attention_v2(q, k, v, scale=None, block_q=BLOCK_Q, block_k=BLOCK_K):
     )(qf, kf, vf)
 
     return out.reshape(b, h, n_qp, d)[:, :, :n_q, :]
+
+
+flash_attention_v2.defvjp(_fwd, _bwd)
