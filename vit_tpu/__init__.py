@@ -10,6 +10,7 @@ vit_for_small_dataset, vit_with_patch_merger) are importable via their
 module under ``vit_tpu.models``.
 """
 
+from vit_tpu.core.bind import BoundModel, bind
 from vit_tpu.models.cait import CaiT
 from vit_tpu.models.cct import CCT, cct_2, cct_4, cct_6, cct_7, cct_8, cct_14, cct_16
 from vit_tpu.models.cross_vit import CrossViT
@@ -29,6 +30,7 @@ from vit_tpu.models.vit_for_small_dataset import LSA, SPT
 from vit_tpu.models.vit_with_patch_merger import PatchMerger
 
 __all__ = [
+    "bind", "BoundModel",
     "ViT", "DeepViT", "CaiT", "CrossViT", "SPT", "LSA", "PatchMerger",
     "T2TViT", "PiT", "CCT", "LeViT", "CvT", "TwinsSVT", "CrossFormer",
     "RegionViT", "ScalableViT", "NesT", "MobileViT",

@@ -281,3 +281,26 @@ def batchnorm(training: bool, dtype=jnp.float32, name: Optional[str] = None, **k
         name=name,
         **kw,
     )
+
+
+class PreNorm(nn.Module):
+    """LayerNorm → fn (reference vit.py:14-22), for users composing custom
+    encoders; the built-in models inline this for param-name clarity."""
+
+    fn: nn.Module
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, training: bool = False, **kwargs):
+        return self.fn(LayerNorm(dtype=self.dtype, name="norm")(x),
+                       training=training, **kwargs)
+
+
+class Residual(nn.Module):
+    """fn(x) + x (reference twins_svt.py:37-43)."""
+
+    fn: nn.Module
+
+    @nn.compact
+    def __call__(self, x, training: bool = False, **kwargs):
+        return self.fn(x, training=training, **kwargs) + x
