@@ -82,3 +82,44 @@ def test_param_sharding_rules(model_and_params):
     np.testing.assert_array_equal(
         np.asarray(qkv), np.asarray(params["transformer"]["attn_0"]["to_qkv"]["kernel"])
     )
+
+
+def test_batchnorm_model_dp_train_step():
+    """BN models (LeViT) train sharded; under jit+sharding the batch-stat
+    reductions are global (sync-BN by construction)."""
+    from vit_tpu.models.levit import LeViT
+    from vit_tpu.parallel.train import (bn_state_shardings,
+                                        create_bn_train_state,
+                                        make_bn_train_step)
+
+    m = LeViT(image_size=32, num_classes=6, stages=1, dim=32, depth=1,
+              heads=2, mlp_mult=2, dim_key=8, dim_value=16)
+    img = jnp.zeros((8, 32, 32, 3))
+    variables = m.init(jax.random.PRNGKey(0), img)
+    params, model_state = variables["params"], {"batch_stats": variables["batch_stats"]}
+
+    def apply_fn(p, ms, images, rng):
+        out, updates = m.apply({"params": p, **ms}, images, training=True,
+                               mutable=["batch_stats"],
+                               rngs={"dropout": rng})
+        return out, updates
+
+    mesh = mesh_lib.make_mesh((8, 1))
+    tx = optax.sgd(1e-2)
+    state = create_bn_train_state(params, model_state, tx)
+    _, compile_step = make_bn_train_step(apply_fn, tx, mesh)
+    step = compile_step(state)
+    state = jax.device_put(state, bn_state_shardings(mesh, state))
+
+    images = jax.random.normal(jax.random.PRNGKey(1), (8, 32, 32, 3))
+    labels = jnp.arange(8) % 6
+    before = np.asarray(
+        state.model_state["batch_stats"]["stage_0"]["attn_0"]["to_q_bn"]["mean"])
+    losses = []
+    for _ in range(2):
+        state, metrics = step(state, images, labels, jax.random.PRNGKey(2))
+        losses.append(float(metrics["loss"]))
+    after = np.asarray(
+        state.model_state["batch_stats"]["stage_0"]["attn_0"]["to_q_bn"]["mean"])
+    assert np.isfinite(losses).all() and losses[1] < losses[0]
+    assert not np.allclose(before, after)  # stats updated across the mesh

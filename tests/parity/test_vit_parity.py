@@ -51,3 +51,20 @@ def test_vit_mean_pool_parity(tf):
     jax_out = ours.apply(variables, jnp.asarray(img))
 
     assert_close(jax_out, tf_out, atol=1e-4, label="ViT mean-pool logits")
+
+
+def test_from_tensorflow_dispatch(tf):
+    import vit as ref_vit
+    from vit_tpu.interop.tf_weights import from_tensorflow
+
+    cfg = dict(image_size=32, patch_size=8, num_classes=4,
+               dim=32, depth=1, heads=2, mlp_dim=64, dim_head=16)
+    img = np.random.RandomState(3).randn(1, 32, 32, 3).astype(np.float32)
+    tfm = ref_vit.ViT(**cfg)
+    tf_out = tfm(tf.constant(img), training=False).numpy()
+
+    ours = ViT(**cfg)
+    variables = ours.init(jax.random.PRNGKey(0), jnp.asarray(img))
+    variables = from_tensorflow(tfm, variables)
+    assert_close(ours.apply(variables, jnp.asarray(img)), tf_out,
+                 label="from_tensorflow ViT")

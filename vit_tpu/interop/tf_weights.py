@@ -693,3 +693,52 @@ def transplant_ats_vit(tf_model, variables) -> dict:
     layernorm(p, "head_norm", tf_model.mlp_head.layers[0])
     dense(p, "head", tf_model.mlp_head.layers[1])
     return v
+
+
+# ---------------------------------------------------------------------------
+# One-call dispatch
+# ---------------------------------------------------------------------------
+
+_TRANSPLANTS = {
+    "ViT": "transplant_vit",
+    "DeepViT": "transplant_deepvit",
+    "CaiT": "transplant_cait",
+    "T2TViT": "transplant_t2t",
+    "CCT": "transplant_cct",
+    "CrossViT": "transplant_cross_vit",
+    "PiT": "transplant_pit",
+    "LeViT": "transplant_levit",
+    "CvT": "transplant_cvt",
+    "TwinsSVT": "transplant_twins_svt",
+    "CrossFormer": "transplant_crossformer",
+    "RegionViT": "transplant_regionvit",
+    "ScalableViT": "transplant_scalable_vit",
+    "NesT": "transplant_nest",
+    "MobileViT": "transplant_mobile_vit",
+}
+
+
+def from_tensorflow(tf_model, variables, kind: str = None) -> dict:
+    """Transplant a TF/Keras reference model's weights into vit-tpu
+    ``variables`` in one call; dispatches on the TF class name (or pass
+    ``kind`` explicitly for the ambiguous per-file ``ViT`` classes:
+    'small_dataset' → SPT/LSA ViT, 'patch_merger', 'ats', 'parallel',
+    'efficient')."""
+    if kind is not None:
+        special = {
+            "small_dataset": transplant_small_dataset_vit,
+            "patch_merger": transplant_patch_merger_vit,
+            "ats": transplant_ats_vit,
+            "parallel": transplant_parallel_vit,
+            "efficient": transplant_efficient_vit,
+        }
+        if kind in special:
+            return special[kind](tf_model, variables)
+        return globals()[_TRANSPLANTS[kind]](tf_model, variables)
+    name = type(tf_model).__name__
+    assert name in _TRANSPLANTS, (
+        f"no transplant registered for {name!r}; pass kind= for per-file "
+        f"ViT classes (options: {sorted(_TRANSPLANTS)} + "
+        "['small_dataset','patch_merger','ats','parallel','efficient'])"
+    )
+    return globals()[_TRANSPLANTS[name]](tf_model, variables)

@@ -128,3 +128,80 @@ def make_loss_train_step(
         )
 
     return step, compile_step
+
+
+class TrainStateWithModelState(NamedTuple):
+    """Train state for models carrying non-param collections (BatchNorm
+    batch_stats): LeViT, CvT, MobileViT, the conv stems."""
+
+    step: jax.Array
+    params: Any
+    model_state: Any
+    opt_state: Any
+
+
+def create_bn_train_state(params, model_state,
+                          tx: optax.GradientTransformation):
+    return TrainStateWithModelState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        model_state=model_state,
+        opt_state=tx.init(params),
+    )
+
+
+def bn_state_shardings(mesh: Mesh, state: TrainStateWithModelState):
+    rep = replicated(mesh)
+    return TrainStateWithModelState(
+        step=rep,
+        params=shd.param_shardings(mesh, state.params),
+        model_state=jax.tree.map(lambda _: rep, state.model_state),
+        opt_state=jax.tree_util.tree_map_with_path(
+            lambda path, leaf: NamedSharding(mesh, shd._spec_for_path(path, leaf)),
+            state.opt_state,
+        ),
+    )
+
+
+def make_bn_train_step(
+    apply_fn: Callable,
+    tx: optax.GradientTransformation,
+    mesh: Mesh,
+    loss_fn: Optional[Callable] = None,
+    donate: bool = True,
+):
+    """Sharded train step for BatchNorm models.
+
+    ``apply_fn(params, model_state, images, rng) -> (logits,
+    new_model_state)``.  Under jit+sharding the BN batch reductions are
+    global (GSPMD all-reduces them), so this is sync-BN across the ``data``
+    axis by construction.
+    """
+    loss_fn = loss_fn or cross_entropy_loss
+
+    def step(state: TrainStateWithModelState, images, labels, rng):
+        def loss_of(params):
+            logits, new_model_state = apply_fn(params, state.model_state,
+                                               images, rng)
+            return loss_fn(logits, labels), new_model_state
+
+        (loss, new_model_state), grads = jax.value_and_grad(
+            loss_of, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainStateWithModelState(
+            state.step + 1, params, new_model_state, opt_state)
+        return new_state, {"loss": loss, "step": new_state.step}
+
+    def compile_step(state: TrainStateWithModelState):
+        st_sh = bn_state_shardings(mesh, state)
+        data_sh = batch_sharding(mesh)
+        rep = replicated(mesh)
+        return jax.jit(
+            step,
+            in_shardings=(st_sh, data_sh, data_sh, rep),
+            out_shardings=(st_sh, rep),
+            donate_argnums=(0,) if donate else (),
+        )
+
+    return step, compile_step
