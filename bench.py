@@ -12,11 +12,18 @@ the fraction of the per-chip bf16 matmul roofline this run achieves
 
 import functools
 import json
+import os
 import time
 
 import jax
 import jax.numpy as jnp
 import optax
+
+# Persistent compile cache: repeat driver runs skip the remote compile.
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 def model_train_flops_per_image(image_size=256, patch=32, dim=1024, depth=6,
