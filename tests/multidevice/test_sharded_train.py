@@ -123,3 +123,37 @@ def test_batchnorm_model_dp_train_step():
         state.model_state["batch_stats"]["stage_0"]["attn_0"]["to_q_bn"]["mean"])
     assert np.isfinite(losses).all() and losses[1] < losses[0]
     assert not np.allclose(before, after)  # stats updated across the mesh
+
+
+def test_self_supervised_loss_train_step_on_mesh():
+    """make_loss_train_step drives MAE (forward IS the loss) sharded over
+    the data axis, rng threading included."""
+    from vit_tpu.objectives import MAE
+    from vit_tpu.parallel.train import make_loss_train_step, state_shardings
+
+    enc = ViT(image_size=32, patch_size=8, num_classes=10, dim=32, depth=1,
+              heads=2, mlp_dim=64, dim_head=16)
+    mae = MAE(image_size=32, encoder=enc, decoder_dim=16, decoder_depth=1)
+    img = jnp.zeros((8, 32, 32, 3))
+    params = mae.init({"params": jax.random.PRNGKey(0)}, img)["params"]
+
+    def loss_apply(p, batch, rng):
+        return mae.apply({"params": p}, batch, training=True,
+                         rngs={"mask": rng, "dropout": rng})
+
+    mesh = mesh_lib.make_mesh((4, 2))
+    tx = optax.adam(1e-3)
+    state = create_train_state(params, tx)
+    _, compile_step = make_loss_train_step(loss_apply, tx, mesh)
+    step = compile_step(state)
+    state = jax.device_put(state, state_shardings(mesh, state))
+
+    images = jax.random.normal(jax.random.PRNGKey(1), (8, 32, 32, 3))
+    losses = []
+    rng = jax.random.PRNGKey(7)
+    for _ in range(3):
+        rng, k = jax.random.split(rng)
+        state, metrics = step(state, images, k)
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
