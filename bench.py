@@ -106,5 +106,29 @@ def main():
     }))
 
 
+def _retry_fresh_process():
+    """One retry in a brand-new process after clearing the persistent compile
+    cache.  Round 1's artifact died to a transient libtpu client/terminal
+    mismatch naming stale AOT executables — a fresh client with a cold cache
+    is the recovery for that whole failure class."""
+    import shutil
+    import subprocess
+    import sys
+
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    shutil.rmtree(cache, ignore_errors=True)
+    env = dict(os.environ, VIT_TPU_BENCH_RETRY="1")
+    raise SystemExit(subprocess.call([sys.executable, os.path.abspath(__file__)], env=env))
+
+
 if __name__ == "__main__":
-    main()
+    if os.environ.get("VIT_TPU_BENCH_RETRY"):
+        main()
+    else:
+        try:
+            main()
+        except Exception:
+            import traceback
+
+            traceback.print_exc()
+            _retry_fresh_process()
