@@ -7,8 +7,11 @@ path (see ``vit_tpu.ops.flash_attention``); variants that must materialize the
 attention matrix (DeepViT re-attention, CaiT talking-heads) use the XLA path
 which XLA fuses well at ViT sequence lengths.
 
-All softmax math runs in float32 regardless of the compute dtype (bf16-safe),
-then casts back.
+Softmax numerics: logits always accumulate in float32 (``preferred_element_type``).
+For float32 models the whole softmax runs in float32.  For bfloat16 models the
+n×n matrix is *stored* bfloat16 to halve its HBM traffic — exp goes through
+f32 and the denominator is accumulated in f32 — but the max-subtraction and
+the final normalize happen at bf16 storage precision.
 """
 
 from __future__ import annotations
@@ -21,21 +24,25 @@ import jax.numpy as jnp
 
 # Large-negative masking value, matching the reference's dtype-max convention
 # (reference ats_vit.py:97, vit_for_small_dataset.py:112 use -np.finfo.max).
+# Logits are always at least f32 here, so the value is computed at the
+# promoted precision (finite in that dtype; -inf only if later downcast).
 def mask_value(dtype) -> float:
-    return -jnp.finfo(jnp.float32).max
+    return -float(jnp.finfo(jnp.promote_types(dtype, jnp.float32)).max)
 
 
-def _use_flash(q, bias, mask) -> bool:
+def _use_flash(q, k, bias, mask) -> bool:
     from vit_tpu.ops import flash_attention as fa
 
     if not fa.flash_attention_available():
         return False
-    b, h, n, d = q.shape
-    # Measured on v5e: at short ViT sequences the XLA path (with the
-    # bf16-stored softmax) wins; the flash kernels pay off once the
-    # materialized n² attention matrix dominates HBM traffic — v1
+    d = q.shape[3]
+    # The materialized matrix is n_q×n_k, so eligibility keys on the larger
+    # of the two (cross-attention included).  Measured on v5e: at short ViT
+    # sequences the XLA path (with the bf16-stored softmax) wins; the flash
+    # kernels pay off once the n² matrix dominates HBM traffic — v1
     # (whole-K VMEM residency) 1.15×/1.55× at n=2048/4096, v2
     # (grid-streamed K/V) 1.9× at n=8192 and unbounded n.
+    n = max(q.shape[2], k.shape[2])
     return d % 64 == 0 and n >= 2048 and bias is None and mask is None
 
 
@@ -63,9 +70,9 @@ def scaled_dot_product_attention(
     if scale is None:
         scale = q.shape[-1] ** -0.5
 
-    if use_flash != "never" and (use_flash == "force" or _use_flash(q, bias, mask)):
-        n = q.shape[2]
-        if n > 4096:
+    if use_flash != "never" and (use_flash == "force" or _use_flash(q, k, bias, mask)):
+        # v1 keeps full K/V VMEM-resident, so the tier choice keys on n_k.
+        if k.shape[2] > 4096:
             # grid-streamed K/V kernel: unbounded n, 1.9× over XLA at n=8192
             from vit_tpu.ops.flash_attention_v2 import flash_attention_v2
 
@@ -96,7 +103,11 @@ def _xla_attention(q, k, v, *, scale, bias=None, mask=None):
         logits = logits.astype(jnp.bfloat16)
         m = jnp.max(logits, axis=-1, keepdims=True)
         e = jnp.exp((logits - m).astype(jnp.float32)).astype(jnp.bfloat16)
-        attn = e / jnp.sum(e, axis=-1, keepdims=True).astype(jnp.bfloat16)
+        # Denominator accumulates in f32 (bf16 loses precision summing
+        # thousands of terms); only its reciprocal is rounded back, so the
+        # n×n matrix itself stays bf16 and keeps the HBM win.
+        den = jnp.sum(e, axis=-1, keepdims=True, dtype=jnp.float32)
+        attn = e * (1.0 / den).astype(jnp.bfloat16)
     else:
         attn = jax.nn.softmax(logits, axis=-1).astype(out_dtype)
 
