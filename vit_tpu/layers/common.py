@@ -127,12 +127,62 @@ class Attention(nn.Module):
         return out
 
 
+def apply_fused_mlp_block(norm: nn.Module, mlp: nn.Module, x: jax.Array,
+                          interpret: bool = False):
+    """Run ``x + mlp(norm(x))`` through the fused Pallas block kernel using
+    the params of already-declared ``LayerNorm`` and ``MLP`` submodules.
+
+    The dummy calls declare the identical param tree (checkpoint/transplant
+    compatible); their outputs are unused and dead-code-eliminated by XLA.
+    """
+    from vit_tpu.ops.fused_mlp import DEFAULT_BLOCK_T, fused_mlp_3d
+
+    dummy = jnp.zeros((1, 1, x.shape[-1]), x.dtype)
+    norm(dummy)
+    mlp(dummy)
+    np_ = norm.variables["params"]
+    mp = mlp.variables["params"]
+    return fused_mlp_3d(
+        x,
+        np_["scale"].astype(jnp.float32),
+        np_["bias"].astype(jnp.float32),
+        mp["fc1"]["kernel"].astype(x.dtype),
+        mp["fc1"]["bias"].astype(x.dtype),
+        mp["fc2"]["kernel"].astype(x.dtype),
+        mp["fc2"]["bias"].astype(x.dtype),
+        norm.epsilon,
+        DEFAULT_BLOCK_T,
+        interpret,
+    )
+
+
+def _fused_mlp_eligible(x, dropout: float, training: bool, dtype,
+                        mode: str = "auto") -> bool:
+    from vit_tpu.ops.fused_mlp import fused_mlp_available
+
+    if x.ndim != 3 or (dropout > 0.0 and training):
+        return False
+    if mode == "interpret":  # test hook: Pallas interpreter, any backend/dtype
+        return True
+    return (
+        dtype in (jnp.bfloat16, jnp.float16)
+        and x.dtype in (jnp.bfloat16, jnp.float16)
+        and fused_mlp_available()
+    )
+
+
 class Transformer(nn.Module):
     """Pre-norm residual encoder stack (reference vit.py:87-104).
 
     The reference's Python layer loop becomes an unrolled jit-compiled loop
     (depths here are ≤26 — unrolling lets XLA fuse across layers; see
     SURVEY.md §3.1 rebuild mapping).
+
+    On the 16-bit TPU path the LN→fc1→GELU→fc2→residual block runs through
+    the fused Pallas kernel (``vit_tpu.ops.fused_mlp``) — same param tree,
+    same math, one VMEM-resident pass instead of XLA's separate LN/GELU/bias
+    round trips.  f32 models keep the exact XLA path the parity suite pins.
+    ``fused_mlp='never'`` opts out.
     """
 
     dim: int
@@ -142,6 +192,7 @@ class Transformer(nn.Module):
     mlp_dim: int
     dropout: float = 0.0
     dtype: Dtype = jnp.float32
+    fused_mlp: str = "auto"
 
     @nn.compact
     def __call__(self, x, training: bool = False):
@@ -156,15 +207,20 @@ class Transformer(nn.Module):
                 name=f"attn_{i}",
             )(h, training=training)
             x = x + h
-            h = LayerNorm(dtype=self.dtype, name=f"mlp_norm_{i}")(x)
-            h = MLP(
+            norm = LayerNorm(dtype=self.dtype, name=f"mlp_norm_{i}")
+            mlp = MLP(
                 self.dim,
                 self.mlp_dim,
                 dropout=self.dropout,
                 dtype=self.dtype,
                 name=f"mlp_{i}",
-            )(h, training=training)
-            x = x + h
+            )
+            if self.fused_mlp != "never" and _fused_mlp_eligible(
+                    x, self.dropout, training, self.dtype, self.fused_mlp):
+                x = apply_fused_mlp_block(
+                    norm, mlp, x, interpret=self.fused_mlp == "interpret")
+            else:
+                x = x + mlp(norm(x), training=training)
         return x
 
 

@@ -30,6 +30,58 @@ def trace(logdir: str):
 named_scope = jax.named_scope
 
 
+def op_breakdown(logdir: str, top: int = 25) -> list[dict]:
+    """Aggregate device-op self-times from an XPlane trace under ``logdir``.
+
+    Returns op rows sorted by total device time: ``{name, occurrences,
+    total_ms, pct}``.  Works without TensorBoard — parses the raw
+    ``*.xplane.pb`` with the TSL proto schema, so the single-core build box
+    can answer "where does the step time go" directly.
+    """
+    import glob
+    import os
+    from collections import defaultdict
+
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
+
+    paths = sorted(glob.glob(os.path.join(logdir, "**", "*.xplane.pb"),
+                             recursive=True), key=os.path.getmtime)
+    if not paths:
+        raise FileNotFoundError(f"no *.xplane.pb under {logdir}")
+    space = xplane_pb2.XSpace()
+    with open(paths[-1], "rb") as f:
+        space.ParseFromString(f.read())
+
+    total_ps = 0
+    per_op: dict = defaultdict(lambda: [0, 0])  # name -> [count, ps]
+    for plane in space.planes:
+        if "TPU" not in plane.name and "Device" not in plane.name:
+            continue
+        meta = plane.event_metadata
+        for line in plane.lines:
+            # 'XLA Ops' carries per-op executions; skip step/module framing
+            # lines which would double-count.
+            if line.name not in ("XLA Ops",):
+                continue
+            for ev in line.events:
+                name = meta[ev.metadata_id].name
+                per_op[name][0] += 1
+                per_op[name][1] += ev.duration_ps
+                total_ps += ev.duration_ps
+
+    rows = [
+        {
+            "name": name,
+            "occurrences": cnt,
+            "total_ms": ps / 1e9,
+            "pct": 100.0 * ps / max(total_ps, 1),
+        }
+        for name, (cnt, ps) in per_op.items()
+    ]
+    rows.sort(key=lambda r: -r["total_ms"])
+    return rows[:top]
+
+
 def benchmark(fn: Callable, *args, iters: int = 30, warmup: int = 5,
               **kwargs) -> dict:
     """Time a jitted callable: median/mean seconds per call.
