@@ -167,6 +167,10 @@ def _fused_mlp_eligible(x, dropout: float, training: bool, dtype,
     return (
         dtype in (jnp.bfloat16, jnp.float16)
         and x.dtype in (jnp.bfloat16, jnp.float16)
+        # Below ~128 tokens XLA lays activations out batch-in-sublanes
+        # ({2,0,1}) and the kernel boundary forces relayout copies that eat
+        # the win (measured: B/32 train regressed, B/16 n=197 gains 12%).
+        and x.shape[1] >= 128
         and fused_mlp_available()
     )
 

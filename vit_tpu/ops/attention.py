@@ -30,6 +30,15 @@ def mask_value(dtype) -> float:
     return -float(jnp.finfo(jnp.promote_types(dtype, jnp.float32)).max)
 
 
+def _use_short(q, k, bias, mask) -> bool:
+    # Measured on v5e (round 2): XLA's own attention keeps the n² matrix in
+    # VMEM at these sizes (scores fusion ~0.12 ms/layer on B/16) and beats
+    # the VMEM-resident Pallas kernel (0.18 vs 0.50 ms standalone at
+    # b64·h12·n197·d64).  The short kernel stays available for explicit use
+    # (`vit_tpu.ops.short_attention`) but never auto-dispatches.
+    return False
+
+
 def _use_flash(q, k, bias, mask) -> bool:
     from vit_tpu.ops import flash_attention as fa
 
@@ -69,6 +78,13 @@ def scaled_dot_product_attention(
     """
     if scale is None:
         scale = q.shape[-1] ** -0.5
+
+    if use_flash != "never" and _use_short(q, k, bias, mask):
+        # Short-sequence tier (all reference models: n ≤ 257): whole
+        # (head-batch, n, d) tiles VMEM-resident, O(n²) never in HBM.
+        from vit_tpu.ops.short_attention import short_attention
+
+        return short_attention(q, k, v, scale)
 
     if use_flash != "never" and (use_flash == "force" or _use_flash(q, k, bias, mask)):
         # v1 keeps full K/V VMEM-resident, so the tier choice keys on n_k.
