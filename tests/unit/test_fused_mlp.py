@@ -39,7 +39,7 @@ def _args(t=197, d=96, hd=160, dtype=jnp.float32):
 
 def test_forward_matches_xla():
     args = _args()
-    y = fused_mlp(*args, 1e-3, 64, True)
+    y = fused_mlp(*args, 1e-3, 64, True, "erf")
     yr = _ref_mlp(*args)
     assert jnp.max(jnp.abs(y - yr)) < 1e-5
 
@@ -47,7 +47,7 @@ def test_forward_matches_xla():
 def test_forward_nondivisible_tokens():
     # t=67 with block 64: one full + one partial (padded) block.
     args = _args(t=67)
-    y = fused_mlp(*args, 1e-3, 64, True)
+    y = fused_mlp(*args, 1e-3, 64, True, "erf")
     yr = _ref_mlp(*args)
     assert y.shape == yr.shape
     assert jnp.max(jnp.abs(y - yr)) < 1e-5
@@ -57,7 +57,7 @@ def test_vjp_matches_xla():
     args = _args()
 
     def loss_f(a):
-        return jnp.sum(jnp.sin(fused_mlp(*a, 1e-3, 64, True)))
+        return jnp.sum(jnp.sin(fused_mlp(*a, 1e-3, 64, True, "erf")))
 
     def loss_r(a):
         return jnp.sum(jnp.sin(_ref_mlp(*a)))
@@ -95,10 +95,39 @@ def test_transformer_interpret_mode_matches_unfused():
 
 
 def test_gelu_approximation_accuracy():
-    """In-kernel erf must be indistinguishable from exact erf at bf16."""
-    from vit_tpu.ops.fused_mlp import _gelu
+    """Both in-kernel GELU forms must be sub-bf16-resolution vs exact erf."""
+    from vit_tpu.ops.fused_mlp import _dgelu, _gelu
 
     x = jnp.linspace(-6.0, 6.0, 4001, dtype=jnp.float32)
     exact = jax.nn.gelu(x, approximate=False)
-    approx = _gelu(x)
-    assert jnp.max(jnp.abs(exact - approx)) < 1e-6
+    assert jnp.max(jnp.abs(exact - _gelu(x, "erf"))) < 1e-6
+    # tanh form: |err| well below bf16 ulp at activation scale (~8e-3 at 1.0)
+    assert jnp.max(jnp.abs(exact - _gelu(x, "tanh"))) < 1e-3
+    dexact = jax.vmap(jax.grad(lambda v: jax.nn.gelu(v, approximate=False)))(x)
+    assert jnp.max(jnp.abs(dexact - _dgelu(x, "erf"))) < 1e-5
+    assert jnp.max(jnp.abs(dexact - _dgelu(x, "tanh"))) < 4e-3
+
+
+def test_vjp_self_consistent_tanh():
+    """Production (tanh) mode: kernel VJP must match autodiff of the same
+    tanh-GELU math exactly — validates the backward plumbing."""
+    from vit_tpu.ops.fused_mlp import _gelu
+
+    args = _args()
+
+    def ref_tanh(x, gamma, beta, w1, b1, w2, b2, eps=1e-3):
+        x32 = x.astype(jnp.float32)
+        mu = jnp.mean(x32, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(x32 - mu), axis=-1, keepdims=True)
+        xn = ((x32 - mu) * jax.lax.rsqrt(var + eps) * gamma + beta).astype(x.dtype)
+        h = jnp.dot(xn, w1, preferred_element_type=jnp.float32) + b1
+        g = _gelu(h, "tanh").astype(x.dtype)
+        o = jnp.dot(g, w2, preferred_element_type=jnp.float32) + b2
+        return x + o.astype(x.dtype)
+
+    gf = jax.grad(lambda a: jnp.sum(jnp.sin(fused_mlp(*a, 1e-3, 64, True))))(args)
+    gr = jax.grad(lambda a: jnp.sum(jnp.sin(ref_tanh(*a))))(args)
+    for name, a, b in zip(["dx", "dgamma", "dbeta", "dw1", "db1", "dw2", "db2"],
+                          gf, gr):
+        scale = jnp.max(jnp.abs(b)) + 1e-6
+        assert jnp.max(jnp.abs(a - b)) / scale < 1e-5, name

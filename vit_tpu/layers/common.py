@@ -153,6 +153,9 @@ def apply_fused_mlp_block(norm: nn.Module, mlp: nn.Module, x: jax.Array,
         norm.epsilon,
         DEFAULT_BLOCK_T,
         interpret,
+        # interpret is the test hook: pin the exact-erf math; production
+        # uses the hardware-free tanh form (sub-bf16 deviation).
+        "erf" if interpret else "tanh",
     )
 
 

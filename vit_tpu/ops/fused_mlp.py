@@ -15,10 +15,14 @@ grid).  The weight gradients dW1/dW2 stay in XLA — they are plain near-peak
 GEMMs over saved residuals.
 
 Numerics: all reductions and GEMM accumulations in f32; activations stored
-bf16 (or the input dtype).  GELU uses the Abramowitz–Stegun 7.1.26 erf
-(|err| ≤ 1.5e-7 — below bf16 resolution; Mosaic has no native erf).  The
-fused path is dispatched only for 16-bit inputs — f32 models keep the exact
-XLA path that the TF-parity suite pins (reference vit.py:28-36 exact erf).
+bf16 (or the input dtype).  GELU is selectable (Mosaic has no native erf):
+the production default is the tanh form (|err| ≤ ~3e-4 vs exact erf — an
+order of magnitude below bf16 resolution — and free under the MXU work,
+riding the hardware transcendental unit); ``gelu='erf'`` uses the A&S
+7.1.26 rational erf (|err| ≤ 1.5e-7) and is what the interpreter tests pin
+at f32 exactness.  The fused path is dispatched only for 16-bit inputs —
+f32 models keep the exact XLA path that the TF-parity suite pins
+(reference vit.py:28-36 exact erf).
 """
 
 from __future__ import annotations
@@ -54,6 +58,8 @@ _ERF_P = 0.3275911
 _ERF_A = (0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429)
 _INV_SQRT2 = 0.7071067811865476
 _INV_SQRT_2PI = 0.3989422804014327
+_SQRT_2_OVER_PI = 0.7978845608028654
+_TANH_C = 0.044715
 
 
 def _erf(x):
@@ -66,16 +72,32 @@ def _erf(x):
     return jnp.sign(x) * y
 
 
-def _gelu(x):
-    """Exact-erf GELU (reference vit.py:34), f32 in/out."""
-    return 0.5 * x * (1.0 + _erf(x * _INV_SQRT2))
+def _gelu(x, form: str = "tanh"):
+    """GELU, f32 in/out.
+
+    ``tanh``: the Hendrycks tanh form — |err| ≤ ~3e-4 vs exact erf, which is
+    an order of magnitude below bf16 resolution at activation scale, and the
+    tanh rides the TPU's hardware transcendental unit so it is *free* under
+    the MXU work (measured: the A&S erf's divide+exp+poly cost 0.09 ms/layer
+    on B/16).  ``erf``: A&S 7.1.26, |err| ≤ 1.5e-7, used by the interpreter
+    tests to pin the kernel plumbing at f32 exactness.
+    """
+    if form == "erf":
+        return 0.5 * x * (1.0 + _erf(x * _INV_SQRT2))
+    u = _SQRT_2_OVER_PI * (x + _TANH_C * x * x * x)
+    return 0.5 * x * (1.0 + jnp.tanh(u))
 
 
-def _dgelu(x):
-    """d/dx gelu(x) = Φ(x) + x·φ(x), f32 in/out."""
-    cdf = 0.5 * (1.0 + _erf(x * _INV_SQRT2))
-    pdf = _INV_SQRT_2PI * jnp.exp(-0.5 * x * x)
-    return cdf + x * pdf
+def _dgelu(x, form: str = "tanh"):
+    """d/dx gelu(x), matching the forward's form."""
+    if form == "erf":
+        cdf = 0.5 * (1.0 + _erf(x * _INV_SQRT2))
+        pdf = _INV_SQRT_2PI * jnp.exp(-0.5 * x * x)
+        return cdf + x * pdf
+    u = _SQRT_2_OVER_PI * (x + _TANH_C * x * x * x)
+    t = jnp.tanh(u)
+    du = _SQRT_2_OVER_PI * (1.0 + 3.0 * _TANH_C * x * x)
+    return 0.5 * (1.0 + t) + 0.5 * x * (1.0 - t * t) * du
 
 
 def _ln_stats(x32, eps):
@@ -89,7 +111,7 @@ def _ln_stats(x32, eps):
 # --- forward ------------------------------------------------------------------
 
 def _fwd_kernel(x_ref, g_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
-                y_ref, xn_ref=None, h_ref=None, *, eps):
+                y_ref, xn_ref=None, h_ref=None, *, eps, gelu):
     x = x_ref[:]
     x32 = x.astype(jnp.float32)
     mu, rstd = _ln_stats(x32, eps)
@@ -103,7 +125,7 @@ def _fwd_kernel(x_ref, g_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
         + b1_ref[:].astype(jnp.float32)
     if h_ref is not None:
         h_ref[:] = h32.astype(x.dtype)
-    g32 = _gelu(h32)
+    g32 = _gelu(h32, gelu)
 
     o32 = jnp.dot(g32.astype(x.dtype), w2_ref[:],
                   preferred_element_type=jnp.float32) \
@@ -115,7 +137,7 @@ def _fwd_kernel(x_ref, g_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
 
 def _bwd_kernel(dy_ref, x_ref, h_ref, g_ref, w1t_ref, w2t_ref,
                 dx_ref, dh_ref, gact_ref, dg_out_ref, db_out_ref,
-                db1_ref, db2_ref, *, eps):
+                db1_ref, db2_ref, *, eps, gelu):
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -135,12 +157,12 @@ def _bwd_kernel(dy_ref, x_ref, h_ref, g_ref, w1t_ref, w2t_ref,
     # matmuls contract (minor, major) — no per-program VMEM relayout.
     dgelu_in = jnp.dot(dy, w2t_ref[:],
                        preferred_element_type=jnp.float32)  # (bt, H)
-    dh32 = dgelu_in * _dgelu(h32)
+    dh32 = dgelu_in * _dgelu(h32, gelu)
     dh = dh32.astype(dy.dtype)
     dh_ref[:] = dh
     # Re-emit the GELU activation so the XLA dW2 GEMM reads it directly
     # instead of re-materializing gelu(h) in a separate fusion.
-    gact_ref[:] = _gelu(h32).astype(dy.dtype)
+    gact_ref[:] = _gelu(h32, gelu).astype(dy.dtype)
 
     # dgrad through fc1 → gradient w.r.t. the scaled-normalized activation
     dxn32 = jnp.dot(dh, w1t_ref[:],
@@ -174,7 +196,7 @@ def _pad_tokens(x, block_t):
 
 
 def _forward(x, gamma, beta, w1, b1, w2, b2, eps, block_t, interpret=False,
-             save_residuals=True):
+             save_residuals=True, gelu="tanh"):
     t, d = x.shape
     hdim = w1.shape[1]
     dt = x.dtype
@@ -184,7 +206,7 @@ def _forward(x, gamma, beta, w1, b1, w2, b2, eps, block_t, interpret=False,
 
     row = lambda a: a.reshape(1, -1)
     if save_residuals:
-        kernel = functools.partial(_fwd_kernel, eps=eps)
+        kernel = functools.partial(_fwd_kernel, eps=eps, gelu=gelu)
         extra_out_specs = [
             pl.BlockSpec((block_t, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((block_t, hdim), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -195,7 +217,8 @@ def _forward(x, gamma, beta, w1, b1, w2, b2, eps, block_t, interpret=False,
         ]
     else:
         # Inference: skip the xn/h residual writes (pure HBM savings).
-        kernel = functools.partial(_fwd_kernel, eps=eps, xn_ref=None, h_ref=None)
+        kernel = functools.partial(_fwd_kernel, eps=eps, gelu=gelu,
+                                   xn_ref=None, h_ref=None)
         extra_out_specs, extra_out_shape = [], []
 
     out = pl.pallas_call(
@@ -228,7 +251,8 @@ def _forward(x, gamma, beta, w1, b1, w2, b2, eps, block_t, interpret=False,
     return out[0][:t], None, None
 
 
-def _backward(dy, x, h, gamma, w1, w2, eps, block_t, interpret=False):
+def _backward(dy, x, h, gamma, w1, w2, eps, block_t, interpret=False,
+              gelu="tanh"):
     t, d = x.shape
     hdim = w1.shape[1]
     dt = x.dtype
@@ -240,7 +264,7 @@ def _backward(dy, x, h, gamma, w1, w2, eps, block_t, interpret=False):
 
     w1t = w1.T  # one (d, h)→(h, d) transpose in XLA, amortized over the grid
     w2t = w2.T
-    kernel = functools.partial(_bwd_kernel, eps=eps)
+    kernel = functools.partial(_bwd_kernel, eps=eps, gelu=gelu)
     dx, dh, gact, dgamma, dbeta, db1, db2 = pl.pallas_call(
         kernel,
         grid=(tp // block_t,),
@@ -287,10 +311,10 @@ def _sublane(dt) -> int:
 
 # --- public op with custom VJP --------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
 def fused_mlp(x, gamma, beta, w1, b1, w2, b2,
               eps: float = 1e-3, block_t: int = DEFAULT_BLOCK_T,
-              interpret: bool = False):
+              interpret: bool = False, gelu: str = "tanh"):
     """``x + (gelu(LN(x)·γβ @ w1 + b1) @ w2 + b2)`` over (tokens, dim).
 
     x: (t, d) activations (bf16 on the production path).
@@ -298,20 +322,20 @@ def fused_mlp(x, gamma, beta, w1, b1, w2, b2,
     b2: (d,) — already in the compute dtype.
     """
     y, _, _ = _forward(x, gamma, beta, w1, b1, w2, b2, eps, block_t,
-                       interpret, save_residuals=False)
+                       interpret, save_residuals=False, gelu=gelu)
     return y
 
 
-def _vjp_fwd(x, gamma, beta, w1, b1, w2, b2, eps, block_t, interpret):
+def _vjp_fwd(x, gamma, beta, w1, b1, w2, b2, eps, block_t, interpret, gelu):
     y, xn, h = _forward(x, gamma, beta, w1, b1, w2, b2, eps, block_t,
-                        interpret)
+                        interpret, gelu=gelu)
     return y, (x, xn, h, gamma, w1, w2)
 
 
-def _vjp_bwd(eps, block_t, interpret, res, dy):
+def _vjp_bwd(eps, block_t, interpret, gelu, res, dy):
     x, xn, h, gamma, w1, w2 = res
     dx, dh, gact, dgamma, dbeta, db1, db2 = _backward(
-        dy, x, h, gamma, w1, w2, eps, block_t, interpret)
+        dy, x, h, gamma, w1, w2, eps, block_t, interpret, gelu=gelu)
     # Weight gradients: plain near-peak GEMMs over the saved residuals
     # (gact re-emitted by the backward kernel).
     dw1 = jax.lax.dot_general(
@@ -328,9 +352,10 @@ fused_mlp.defvjp(_vjp_fwd, _vjp_bwd)
 
 
 def fused_mlp_3d(x, gamma, beta, w1, b1, w2, b2, eps: float = 1e-3,
-                 block_t: int = DEFAULT_BLOCK_T, interpret: bool = False):
+                 block_t: int = DEFAULT_BLOCK_T, interpret: bool = False,
+                 gelu: str = "tanh"):
     """(b, n, d) convenience wrapper — flattens tokens, restores shape."""
     b, n, d = x.shape
     y = fused_mlp(x.reshape(b * n, d), gamma, beta, w1, b1, w2, b2,
-                  eps, block_t, interpret)
+                  eps, block_t, interpret, gelu)
     return y.reshape(b, n, d)
