@@ -159,6 +159,57 @@ def apply_fused_mlp_block(norm: nn.Module, mlp: nn.Module, x: jax.Array,
     )
 
 
+def apply_fused_attention_block(norm: nn.Module, attn: nn.Module,
+                                x: jax.Array, heads: int, dim_head: int,
+                                interpret: bool = False):
+    """Run ``x + attn(norm(x))`` through the fused attention-block kernel
+    using the params of the declared ``LayerNorm``/``Attention`` pair
+    (same dummy-declaration pattern as :func:`apply_fused_mlp_block`)."""
+    from vit_tpu.ops.fused_attention_block import fused_attention_block
+
+    dummy = jnp.zeros((1, 1, x.shape[-1]), x.dtype)
+    norm(dummy)
+    attn(dummy)
+    np_ = norm.variables["params"]
+    ap = attn.variables["params"]
+    return fused_attention_block(
+        x,
+        np_["scale"].astype(jnp.float32),
+        np_["bias"].astype(jnp.float32),
+        ap["to_qkv"]["kernel"].astype(x.dtype),
+        ap["to_out"]["kernel"].astype(x.dtype),
+        ap["to_out"]["bias"].astype(x.dtype),
+        heads,
+        dim_head,
+        None,
+        norm.epsilon,
+        interpret,
+    )
+
+
+def _fused_attention_eligible(x, dropout: float, training: bool, dtype,
+                              heads: int, dim_head: int, dim: int,
+                              mode: str = "auto") -> bool:
+    from vit_tpu.ops.fused_attention_block import (
+        fused_attention_block_available,
+    )
+
+    project_out = not (heads == 1 and dim_head == dim)
+    if x.ndim != 3 or (dropout > 0.0 and training) or not project_out:
+        return False
+    if mode == "interpret":
+        return True
+    return (
+        dtype in (jnp.bfloat16, jnp.float16)
+        and x.dtype in (jnp.bfloat16, jnp.float16)
+        # Same measured window as the fused MLP: below ~128 tokens XLA's
+        # batch-in-sublane layouts win (B/32 regressed); above 512 the n²
+        # temporaries outgrow the per-program VMEM budget.
+        and 128 <= x.shape[1] <= 512
+        and fused_attention_block_available()
+    )
+
+
 def _fused_mlp_eligible(x, dropout: float, training: bool, dtype,
                         mode: str = "auto") -> bool:
     from vit_tpu.ops.fused_mlp import fused_mlp_available
@@ -200,20 +251,28 @@ class Transformer(nn.Module):
     dropout: float = 0.0
     dtype: Dtype = jnp.float32
     fused_mlp: str = "auto"
+    fused_attention: str = "auto"
 
     @nn.compact
     def __call__(self, x, training: bool = False):
         for i in range(self.depth):
-            h = LayerNorm(dtype=self.dtype, name=f"attn_norm_{i}")(x)
-            h = Attention(
+            a_norm = LayerNorm(dtype=self.dtype, name=f"attn_norm_{i}")
+            attn = Attention(
                 self.dim,
                 heads=self.heads,
                 dim_head=self.dim_head,
                 dropout=self.dropout,
                 dtype=self.dtype,
                 name=f"attn_{i}",
-            )(h, training=training)
-            x = x + h
+            )
+            if self.fused_attention != "never" and _fused_attention_eligible(
+                    x, self.dropout, training, self.dtype, self.heads,
+                    self.dim_head, self.dim, self.fused_attention):
+                x = apply_fused_attention_block(
+                    a_norm, attn, x, self.heads, self.dim_head,
+                    interpret=self.fused_attention == "interpret")
+            else:
+                x = x + attn(a_norm(x), training=training)
             norm = LayerNorm(dtype=self.dtype, name=f"mlp_norm_{i}")
             mlp = MLP(
                 self.dim,
