@@ -149,6 +149,88 @@ def test_simmim_parity_synchronized_mask(tf):
     np.testing.assert_allclose(jax_loss, tf_loss, atol=1e-4)
 
 
+def test_mpp_parity_synchronized_mask(tf):
+    """MPP loss pinned against the patched reference (SURVEY.md §8.7/§8.15).
+
+    The reference's random-patch swap and mask-token replacement mutate
+    ``.numpy()`` *copies* of eager tensors (§8.16 — verified no-ops in this
+    environment), so the reference encoder always sees uncorrupted patches;
+    our side runs with corruption probabilities 0 to match.  The reference's
+    CE (prediction passed as labels, integer bucket id as logits, §8.7) and
+    the clip-to-constant target (§8.15) are patched to paper-correct on the
+    TF side.  This pins the whole bucketize/bin-weighted-target pipeline
+    (reference mpp.py:109-131) and the masked-CE reduction end to end.
+    """
+    ref_vit = _patch_vit_build(tf)
+    import mpp as ref
+
+    batch, num_patches = 2, 16
+    # synchronized mask subset: 3 masked patches per row (ceil(0.15·16))
+    rs = np.random.RandomState(11)
+    mask_bool = np.zeros((batch, num_patches), bool)
+    for b in range(batch):
+        mask_bool[b, rs.choice(num_patches, 3, replace=False)] = True
+
+    img = np.random.RandomState(7).rand(batch, 64, 64, 3).astype(np.float32)
+
+    tf_enc = ref_vit.ViT(**ENC_CFG)
+
+    def fixed_ce(pred, target_label):
+        # §8.7: paper-correct CE(one_hot(bucket), predicted_logits)
+        labels = tf.one_hot(tf.cast(tf.squeeze(target_label, -1), tf.int32),
+                            depth=pred.shape[-1])
+        return tf.nn.softmax_cross_entropy_with_logits(labels=labels,
+                                                       logits=pred)
+
+    nn_proxy = types.SimpleNamespace()
+    nn_proxy.__dict__.update({k: getattr(tf.nn, k) for k in dir(tf.nn)
+                              if not k.startswith("_")})
+    nn_proxy.softmax_cross_entropy_with_logits = fixed_ce
+    ref.tf = _tf_proxy(
+        tf,
+        nn=nn_proxy,
+        # §8.15: clamp from above only instead of clip-to-constant
+        clip_by_value=lambda t, clip_value_min, clip_value_max:
+            tf.minimum(t, clip_value_max),
+    )
+    orig_subset = ref.get_mask_subset_with_prob
+    ref.get_mask_subset_with_prob = lambda inp, prob: tf.constant(mask_bool)
+    try:
+        tfm = ref.MPP(image_size=64, transformer=tf_enc, patch_size=16)
+        tf_loss = float(tfm(tf.constant(img), training=False))
+    finally:
+        ref.get_mask_subset_with_prob = orig_subset
+
+    from vit_tpu.objectives import mpp as mpp_mod
+
+    orig = mpp_mod.get_mask_subset_with_prob
+    mpp_mod.get_mask_subset_with_prob = (
+        lambda batch, seq_len, prob, key: jnp.asarray(mask_bool))
+    try:
+        ours = mpp_mod.MPP(image_size=64, transformer=ViT(**ENC_CFG),
+                           patch_size=16, replace_prob=0.0,
+                           random_patch_prob=0.0)
+        variables = ours.init(jax.random.PRNGKey(0), jnp.asarray(img))
+        v = tf_weights.to_mutable(variables)
+        p = v["params"]
+        enc = p["transformer"]
+        tf_weights.dense(enc, "patch_embedding",
+                         tfm.transformer.patch_embedding.layers[1])
+        tf_weights.set_(enc, "cls_token",
+                        tf_weights.t(tfm.transformer.cls_token))
+        tf_weights.set_(enc, "pos_embedding",
+                        tf_weights.t(tfm.transformer.pos_embedding))
+        tf_weights.transplant_transformer(enc, "transformer",
+                                          tfm.transformer.transformer)
+        tf_weights.dense(p, "to_bits", tfm.to_bits)
+        tf_weights.set_(p, "mask_token", tf_weights.t(tfm.mask_token))
+        jax_loss = float(ours.apply(v, jnp.asarray(img)))
+    finally:
+        mpp_mod.get_mask_subset_with_prob = orig
+
+    np.testing.assert_allclose(jax_loss, tf_loss, atol=1e-4)
+
+
 def test_distillable_vit_parity(tf):
     import distill as ref
 
