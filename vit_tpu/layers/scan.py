@@ -32,18 +32,37 @@ class _Block(nn.Module):
     dropout: float = 0.0
     training: bool = False
     dtype: Any = jnp.float32
+    fused: str = "auto"
 
     @nn.compact
     def __call__(self, x, _=None):
-        h = LayerNorm(dtype=self.dtype, name="attn_norm")(x)
-        h = Attention(self.dim, heads=self.heads, dim_head=self.dim_head,
-                      dropout=self.dropout, dtype=self.dtype, name="attn")(
-            h, training=self.training)
-        x = x + h
-        h = LayerNorm(dtype=self.dtype, name="mlp_norm")(x)
-        h = MLP(self.dim, self.mlp_dim, dropout=self.dropout,
-                dtype=self.dtype, name="mlp")(h, training=self.training)
-        return x + h, None
+        from vit_tpu.layers.common import (
+            _fused_attention_eligible, _fused_mlp_eligible,
+            apply_fused_attention_block, apply_fused_mlp_block,
+        )
+
+        norm = LayerNorm(dtype=self.dtype, name="attn_norm")
+        attn = Attention(self.dim, heads=self.heads, dim_head=self.dim_head,
+                         dropout=self.dropout, dtype=self.dtype, name="attn")
+        if self.fused != "never" and _fused_attention_eligible(
+                x, self.dropout, self.training, self.dtype, self.heads,
+                self.dim_head, self.dim, self.fused):
+            x = apply_fused_attention_block(
+                norm, attn, x, self.heads, self.dim_head,
+                interpret=self.fused == "interpret")
+        else:
+            x = x + attn(norm(x), training=self.training)
+
+        norm = LayerNorm(dtype=self.dtype, name="mlp_norm")
+        mlp = MLP(self.dim, self.mlp_dim, dropout=self.dropout,
+                  dtype=self.dtype, name="mlp")
+        if self.fused != "never" and _fused_mlp_eligible(
+                x, self.dropout, self.training, self.dtype, self.fused):
+            x = apply_fused_mlp_block(
+                norm, mlp, x, interpret=self.fused == "interpret")
+        else:
+            x = x + mlp(norm(x), training=self.training)
+        return x, None
 
 
 class ScannedTransformer(nn.Module):
@@ -57,6 +76,11 @@ class ScannedTransformer(nn.Module):
     dropout: float = 0.0
     remat: bool = False
     dtype: Any = jnp.float32
+    # Fused Pallas blocks under lax.scan measured 2.4× slower at runtime
+    # (B/16 train 60→146 ms/step) while barely helping compile — scan is
+    # the compile-time lever, the kernels are the runtime lever, and they
+    # do not compose today.  Opt in explicitly if that changes.
+    fused: str = "never"
 
     @nn.compact
     def __call__(self, x, training: bool = False):
@@ -71,7 +95,7 @@ class ScannedTransformer(nn.Module):
             length=self.depth,
         )(self.dim, self.heads, self.dim_head, self.mlp_dim,
           dropout=self.dropout, training=training, dtype=self.dtype,
-          name="layers")
+          fused=self.fused, name="layers")
         out, _ = scanned(x, None)
         return out
 

@@ -71,6 +71,7 @@ class PiT(nn.Module):
     dropout: float = 0.0
     emb_dropout: float = 0.0
     dtype: Any = jnp.float32
+    scan_layers: bool = False
 
     def __post_init__(self):
         super().__post_init__()
@@ -106,11 +107,20 @@ class PiT(nn.Module):
 
         dim = self.dim
         for ind, (layer_depth, layer_heads) in enumerate(zip(self.depth, heads)):
-            x = Transformer(
-                dim, layer_depth, layer_heads, self.dim_head, self.mlp_dim,
-                dropout=self.dropout, dtype=self.dtype,
-                name=f"transformer_{ind}",
-            )(x, training=training)
+            if self.scan_layers:
+                from vit_tpu.layers.scan import ScannedTransformer
+
+                x = ScannedTransformer(
+                    dim, layer_depth, layer_heads, self.dim_head,
+                    self.mlp_dim, dropout=self.dropout, dtype=self.dtype,
+                    name=f"transformer_{ind}",
+                )(x, training=training)
+            else:
+                x = Transformer(
+                    dim, layer_depth, layer_heads, self.dim_head,
+                    self.mlp_dim, dropout=self.dropout, dtype=self.dtype,
+                    name=f"transformer_{ind}",
+                )(x, training=training)
             if ind < len(self.depth) - 1:  # paper-correct pooling (§8.4)
                 x = Pool(dim, dtype=self.dtype, name=f"pool_{ind}")(
                     x, training=training)

@@ -46,6 +46,7 @@ class T2TViT(nn.Module):
     transformer: Optional[nn.Module] = None
     t2t_layers: Tuple[Tuple[int, int], ...] = ((7, 4), (3, 2), (3, 2))
     dtype: Any = jnp.float32
+    scan_layers: bool = False
 
     def __post_init__(self):
         super().__post_init__()
@@ -95,6 +96,13 @@ class T2TViT(nn.Module):
 
         if self.transformer is not None:
             x = self.transformer(x, training=training)
+        elif self.scan_layers:
+            from vit_tpu.layers.scan import ScannedTransformer
+
+            x = ScannedTransformer(
+                self.dim, self.depth, self.heads, self.dim_head, self.mlp_dim,
+                dropout=self.dropout, dtype=self.dtype, name="transformer",
+            )(x, training=training)
         else:
             x = Transformer(
                 self.dim, self.depth, self.heads, self.dim_head, self.mlp_dim,

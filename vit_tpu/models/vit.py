@@ -40,6 +40,7 @@ class ViT(nn.Module):
     dropout: float = 0.0
     emb_dropout: float = 0.0
     dtype: Any = jnp.float32
+    scan_layers: bool = False
 
     def __post_init__(self):
         super().__post_init__()
@@ -65,9 +66,21 @@ class ViT(nn.Module):
             "pos_embedding", nn.initializers.normal(1.0),
             (1, self.num_patches + 1, self.dim))
         self.emb_dropout_layer = nn.Dropout(self.emb_dropout)
-        self.transformer = Transformer(
-            self.dim, self.depth, self.heads, self.dim_head, self.mlp_dim,
-            dropout=self.dropout, dtype=self.dtype, name="transformer")
+        if self.scan_layers:
+            # lax.scan over stacked layer params: one layer compiled once —
+            # compile time O(1) in depth instead of O(depth).  Param tree
+            # differs from the unrolled default; checkpoints convert via
+            # vit_tpu.layers.scan.stack_transformer_params.
+            from vit_tpu.layers.scan import ScannedTransformer
+
+            self.transformer = ScannedTransformer(
+                self.dim, self.depth, self.heads, self.dim_head,
+                self.mlp_dim, dropout=self.dropout, dtype=self.dtype,
+                name="transformer")
+        else:
+            self.transformer = Transformer(
+                self.dim, self.depth, self.heads, self.dim_head, self.mlp_dim,
+                dropout=self.dropout, dtype=self.dtype, name="transformer")
         self.head_norm = LayerNorm(dtype=self.dtype, name="head_norm")
         self.head = Dense(self.num_classes, dtype=self.dtype, name="head")
 

@@ -41,6 +41,27 @@ except Exception:  # pragma: no cover
     _PALLAS_OK = False
 
 DEFAULT_BLOCK_T = 256
+_VMEM_LIMIT = 64 * 1024 * 1024  # v5e has 128M physical; leave headroom
+
+
+def _fit_block_t(block_t: int, d: int, hdim: int, itemsize: int,
+                 bwd: bool) -> int:
+    """Largest power-of-two block_t ≤ requested that keeps the program's
+    padded blocks (×2 double-buffered), resident weights and f32
+    temporaries under the VMEM budget."""
+    budget = _VMEM_LIMIT // 2
+    weights = 2 * d * hdim * itemsize
+    while block_t > 16:
+        if bwd:
+            io = block_t * (3 * d + 3 * hdim) * itemsize   # dy,x,dx + h,dh,gact
+            temps = 3 * block_t * (hdim + d) * 4
+        else:
+            io = block_t * (3 * d + hdim) * itemsize       # x,xn,y + h
+            temps = 2 * block_t * (hdim + d) * 4
+        if 2 * io + weights + temps <= budget:
+            return block_t
+        block_t //= 2
+    return block_t
 
 
 def fused_mlp_available() -> bool:
@@ -200,6 +221,7 @@ def _forward(x, gamma, beta, w1, b1, w2, b2, eps, block_t, interpret=False,
     t, d = x.shape
     hdim = w1.shape[1]
     dt = x.dtype
+    block_t = _fit_block_t(block_t, d, hdim, dt.itemsize, bwd=False)
     block_t = min(block_t, max(_sublane(dt), t))
     xp = _pad_tokens(x, block_t)
     tp = xp.shape[0]
@@ -237,6 +259,7 @@ def _forward(x, gamma, beta, w1, b1, w2, b2, eps, block_t, interpret=False,
             pl.BlockSpec((block_t, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ] + extra_out_specs,
         out_shape=[jax.ShapeDtypeStruct((tp, d), dt)] + extra_out_shape,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         cost_estimate=pl.CostEstimate(
             flops=4 * tp * d * hdim,
             bytes_accessed=(3 * tp * d + tp * hdim + 2 * d * hdim) * dt.itemsize,
@@ -256,6 +279,7 @@ def _backward(dy, x, h, gamma, w1, w2, eps, block_t, interpret=False,
     t, d = x.shape
     hdim = w1.shape[1]
     dt = x.dtype
+    block_t = _fit_block_t(block_t, d, hdim, dt.itemsize, bwd=True)
     block_t = min(block_t, max(_sublane(dt), t))
     dyp = _pad_tokens(dy, block_t)
     xp = _pad_tokens(x, block_t)
@@ -294,6 +318,7 @@ def _backward(dy, x, h, gamma, w1, w2, eps, block_t, interpret=False,
             jax.ShapeDtypeStruct((1, hdim), jnp.float32),
             jax.ShapeDtypeStruct((1, d), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         cost_estimate=pl.CostEstimate(
             flops=4 * tp * d * hdim,
             bytes_accessed=2 * (4 * tp * d + 2 * tp * hdim + 2 * d * hdim),
