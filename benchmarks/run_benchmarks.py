@@ -72,6 +72,52 @@ def _regionvit(dtype):
     return RegionViT(num_classes=1000, dtype=dtype), 224
 
 
+def _more_models(dtype):
+    from vit_tpu import CvT
+    from vit_tpu.layers.common import Transformer
+    from vit_tpu.models import efficient, parallel_vit
+
+    return {
+        "cvt": (CvT(num_classes=1000, dtype=dtype), 224),
+        # efficient-ViT: the injectable-encoder variant with the canonical
+        # encoder config (reference efficient.py usage block)
+        "efficient_vit": (efficient.ViT(
+            image_size=256, patch_size=32, num_classes=1000, dim=1024,
+            transformer=Transformer(1024, 6, 16, 64, 2048, dtype=dtype),
+            dtype=dtype), 256),
+        "parallel_vit": (parallel_vit.ViT(
+            image_size=256, patch_size=32, num_classes=1000, dim=1024,
+            depth=6, heads=8, mlp_dim=2048, num_parallel_branches=2,
+            dtype=dtype), 256),
+    }
+
+
+def _objectives(dtype):
+    """BASELINE.md workload 5: the objective-wrapper train steps on the
+    canonical encoder (reference mae.py:94-114, simmim.py:133-150,
+    mpp.py:221-240, distill.py:140-164 usage blocks)."""
+    from vit_tpu import MAE, MPP, SimMIM, ViT
+    from vit_tpu.objectives.distill import DistillableViT, DistillWrapper
+
+    enc = lambda: ViT(image_size=256, patch_size=32, num_classes=1000,
+                      dim=1024, depth=6, heads=8, mlp_dim=2048, dtype=dtype)
+    teacher = ViT(image_size=256, patch_size=32, num_classes=1000,
+                  dim=1024, depth=6, heads=8, mlp_dim=2048, dtype=dtype)
+    student = DistillableViT(image_size=256, patch_size=32, num_classes=1000,
+                             dim=1024, depth=6, heads=8, mlp_dim=2048,
+                             dtype=dtype)
+    return {
+        "mae_obj": (MAE(image_size=256, encoder=enc(), decoder_dim=512,
+                        masking_ratio=0.75, decoder_depth=6, dtype=dtype), 256),
+        "simmim_obj": (SimMIM(image_size=256, encoder=enc(),
+                              masking_ratio=0.5, dtype=dtype), 256),
+        "mpp_obj": (MPP(image_size=256, transformer=enc(), patch_size=32,
+                        dtype=dtype), 256),
+        "distill_obj": (DistillWrapper(teacher=teacher, student=student,
+                                       dtype=dtype), 256),
+    }
+
+
 def _extras(dtype):
     from vit_tpu import CCT, ScalableViT
     from vit_tpu.models import ats_vit, vit_for_small_dataset,         vit_with_patch_merger
@@ -97,6 +143,44 @@ def _extras(dtype):
             image_size=256, patch_size=16, num_classes=1000, dim=1024,
             depth=12, heads=8, patch_merge_layer=6, mlp_dim=2048,
             dtype=dtype), 256),
+    }
+
+
+def bench_objective(name, model, image_size, batch, dtype):
+    """Objective wrappers *are* the loss — the train step differentiates
+    their scalar output directly."""
+    from vit_tpu.utils.profiling import benchmark_throughput
+
+    img = jax.random.normal(jax.random.PRNGKey(1),
+                            (batch, image_size, image_size, 3), dtype)
+    labels = jnp.arange(batch) % 1000
+    inputs = (img, labels) if name.startswith("distill") else img
+    variables = model.init(jax.random.PRNGKey(0), inputs)
+
+    tx = optax.sgd(1e-3)
+    opt_state = tx.init(variables)
+
+    @jax.jit
+    def train_step(variables, opt_state, inputs):
+        loss, grads = jax.value_and_grad(
+            lambda v: model.apply(v, inputs))(variables)
+        updates, opt_state = tx.update(grads, opt_state)
+        return optax.apply_updates(variables, updates), opt_state, loss
+
+    state = [variables, opt_state]
+
+    def step_fn():
+        state[0], state[1], loss = train_step(state[0], state[1], inputs)
+        return loss
+
+    train = benchmark_throughput(step_fn, batch=batch)
+    return {
+        "model": name,
+        "batch": batch,
+        "image_size": image_size,
+        "dtype": str(dtype.__name__ if hasattr(dtype, "__name__") else dtype),
+        "train_images_per_sec_per_chip": round(train["items_per_sec"], 1),
+        "device": jax.devices()[0].device_kind,
     }
 
 
@@ -162,6 +246,8 @@ def main():
     registry = model_registry(dtype)
     registry["regionvit"] = _regionvit(dtype)
     registry.update(_extras(dtype))
+    registry.update(_more_models(dtype))
+    registry.update(_objectives(dtype))
     names = (args.only.split(",") if args.only else list(registry))
 
     out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -171,7 +257,9 @@ def main():
             model, image_size = registry[name]
             t0 = time.time()
             try:
-                row = bench_model(name, model, image_size, args.batch, dtype)
+                bench = (bench_objective if name.endswith("_obj")
+                         else bench_model)
+                row = bench(name, model, image_size, args.batch, dtype)
                 row["compile_s"] = round(time.time() - t0, 1)
                 print(json.dumps(row), flush=True)
                 f.write(json.dumps(row) + "\n")

@@ -28,6 +28,12 @@ from vit_tpu.models.twins_svt import TwinsSVT
 from vit_tpu.models.vit import ViT
 from vit_tpu.models.vit_for_small_dataset import LSA, SPT
 from vit_tpu.models.vit_with_patch_merger import PatchMerger
+from vit_tpu.objectives.distill import (DistillableEfficientViT,
+                                        DistillableT2TViT, DistillableViT,
+                                        DistillWrapper)
+from vit_tpu.objectives.mae import MAE
+from vit_tpu.objectives.mpp import MPP
+from vit_tpu.objectives.simmim import SimMIM
 
 __all__ = [
     "bind", "BoundModel",
@@ -35,6 +41,8 @@ __all__ = [
     "T2TViT", "PiT", "CCT", "LeViT", "CvT", "TwinsSVT", "CrossFormer",
     "RegionViT", "ScalableViT", "NesT", "MobileViT",
     "cct_2", "cct_4", "cct_6", "cct_7", "cct_8", "cct_14", "cct_16",
+    "MAE", "SimMIM", "MPP", "DistillWrapper",
+    "DistillableViT", "DistillableT2TViT", "DistillableEfficientViT",
 ]
 
 __version__ = "0.1.0"

@@ -17,13 +17,40 @@ import jax
 import numpy as np
 
 
+def process_local_batch_size(global_batch_size: int) -> int:
+    """Each host's share of the global batch in a multi-process run.
+
+    The pod-scale input contract (SURVEY.md §2.5): every process loads only
+    its ``global // process_count`` slice; :func:`shard_batch` assembles the
+    slices into global arrays.  Single-process runs get the full batch.
+    """
+    count = jax.process_count()
+    assert global_batch_size % count == 0, (
+        f"global batch {global_batch_size} must divide evenly over "
+        f"{count} processes"
+    )
+    return global_batch_size // count
+
+
 def shard_batch(batch, mesh, axis: str = "data"):
-    """Place a host batch pytree onto the mesh, sharded over ``axis``."""
+    """Place a host batch pytree onto the mesh, sharded over ``axis``.
+
+    Single-process: a plain sharded ``device_put``.  Multi-process (after
+    :func:`vit_tpu.parallel.mesh.initialize_distributed`): each process
+    passes its *local* slice of the batch and the slices are assembled into
+    global arrays (``jax.make_array_from_process_local_data``) — the jitted
+    train step then sees one global batch sharded over the mesh.
+    """
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     sharding = NamedSharding(mesh, P(axis))
-    return jax.tree.map(lambda x: jax.device_put(np.asarray(x), sharding),
-                        batch)
+    if jax.process_count() == 1:
+        return jax.tree.map(
+            lambda x: jax.device_put(np.asarray(x), sharding), batch)
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(
+            sharding, np.asarray(x)),
+        batch)
 
 
 def prefetch(iterator: Iterator[Any], size: int = 2,
