@@ -125,6 +125,54 @@ def test_batchnorm_model_dp_train_step():
     assert not np.allclose(before, after)  # stats updated across the mesh
 
 
+def _levit_losses(mesh_shape, n_steps=2):
+    from vit_tpu.models.levit import LeViT
+    from vit_tpu.parallel.train import (bn_state_shardings,
+                                        create_bn_train_state,
+                                        make_bn_train_step)
+
+    m = LeViT(image_size=32, num_classes=6, stages=1, dim=32, depth=1,
+              heads=2, mlp_mult=2, dim_key=8, dim_value=16)
+    img = jnp.zeros((8, 32, 32, 3))
+    variables = m.init(jax.random.PRNGKey(0), img)
+    params = variables["params"]
+    model_state = {"batch_stats": variables["batch_stats"]}
+
+    def apply_fn(p, ms, images, rng):
+        return m.apply({"params": p, **ms}, images, training=True,
+                       mutable=["batch_stats"], rngs={"dropout": rng})
+
+    mesh = mesh_lib.make_mesh(mesh_shape)
+    tx = optax.sgd(1e-2)
+    state = create_bn_train_state(params, model_state, tx)
+    _, compile_step = make_bn_train_step(apply_fn, tx, mesh)
+    step = compile_step(state)
+    state = jax.device_put(state, bn_state_shardings(mesh, state))
+
+    images = jax.random.normal(jax.random.PRNGKey(1), (8, 32, 32, 3))
+    labels = jnp.arange(8) % 6
+    losses = []
+    for _ in range(n_steps):
+        state, metrics = step(state, images, labels, jax.random.PRNGKey(2))
+        losses.append(float(metrics["loss"]))
+    return state, losses
+
+
+def test_levit_dp4_tp2_matches_dp8():
+    """Conv-hybrid TP (1×1-conv column/row rules) must be numerically
+    equivalent to pure DP — the rule-table extension actually shards the
+    LeViT projections instead of replicating them."""
+    from vit_tpu.parallel import sharding as shd_mod
+
+    _, losses_dp = _levit_losses((8, 1))
+    state_tp, losses_tp = _levit_losses((4, 2))
+    np.testing.assert_allclose(losses_dp, losses_tp, rtol=2e-4)
+
+    # and TP actually fired: the to_q conv kernel is split over `model`
+    k = state_tp.params["stage_0"]["attn_0"]["to_q"]["kernel"]
+    assert tuple(k.sharding.spec) == (None, None, None, "model")
+
+
 def test_self_supervised_loss_train_step_on_mesh():
     """make_loss_train_step drives MAE (forward IS the loss) sharded over
     the data axis, rng threading included."""

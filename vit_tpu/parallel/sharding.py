@@ -1,11 +1,19 @@
 """Parameter sharding rules for tensor parallelism.
 
 Every transformer in the framework funnels through the shared layer names
-(``to_qkv`` / ``to_out`` / ``fc1`` / ``fc2`` — vit_tpu.layers.common), so one
-rule table covers the whole model zoo: attention inner projections and the
-MLP hidden dim shard over the ``model`` axis (Megatron-style column→row
-pairing: qkv/fc1 split their output dim, to_out/fc2 split their input dim so
-XLA inserts a single all-reduce per block); everything else replicates.
+(``to_qkv`` / ``to_q`` / ``to_kv`` / ``to_v`` / ``to_out`` / ``fc1`` /
+``fc2`` — vit_tpu.layers.common and the conv hybrids), so one rule table
+covers the whole model zoo: attention inner projections and the MLP hidden
+dim shard over the ``model`` axis (Megatron-style column→row pairing:
+qkv/fc1 split their output dim, to_out/fc2 split their input dim so XLA
+inserts a single all-reduce per block); everything else replicates.
+
+Rules are rank-aware: Dense kernels are (in, out); the conv hybrids'
+1×1-conv projections (LeViT/CvT/Twins/ScalableViT — kernels
+``(kh, kw, in, out)``) shard their channel dims the same way, including
+the ``pointwise`` half of CvT's depthwise-separable projections.  Grouped
+(depthwise) kernels replicate — their channel dims are not freely
+divisible across the axis.
 """
 
 from __future__ import annotations
@@ -17,18 +25,31 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from vit_tpu.parallel.mesh import MODEL_AXIS
 
+_COLUMN = ("to_qkv", "to_q", "to_kv", "to_v", "fc1")
+_ROW = ("to_out", "fc2")
+
 
 def _spec_for_path(path: tuple[str, ...], leaf: Any) -> P:
     names = [getattr(k, "key", str(k)) for k in path]
     leafname = names[-1] if names else ""
     parent = names[-2] if len(names) >= 2 else ""
+    grandparent = names[-3] if len(names) >= 3 else ""
+    # CvT-style separable projection: the 1×1 pointwise half carries the
+    # channel mixing; the depthwise half replicates (grouped kernel).
+    if parent == "pointwise" and grandparent in _COLUMN + _ROW:
+        parent = grandparent
+    elif parent == "depthwise":
+        return P()
 
-    if leafname == "kernel":
-        if parent in ("to_qkv", "to_q", "to_kv", "to_v", "fc1"):
-            return P(None, MODEL_AXIS)  # column parallel (output dim)
-        if parent in ("to_out", "fc2"):
-            return P(MODEL_AXIS, None)  # row parallel (input dim)
-    if leafname == "bias" and parent in ("fc1",):
+    ndim = getattr(leaf, "ndim", None)
+    if leafname == "kernel" and ndim in (2, 4):
+        if parent in _COLUMN:
+            # column parallel: split the output-channel (minor) dim
+            return P(*([None] * (ndim - 1) + [MODEL_AXIS]))
+        if parent in _ROW:
+            # row parallel: split the input-channel dim
+            return P(*([None] * (ndim - 2) + [MODEL_AXIS, None]))
+    if leafname == "bias" and parent in _COLUMN:
         return P(MODEL_AXIS)
     return P()
 
