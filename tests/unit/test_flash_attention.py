@@ -21,8 +21,13 @@ def test_flash_matches_xla_interpret(n, d):
     scale = d ** -0.5
     ref = _xla_attention(q, k, v, scale=scale)
     with pltpu.force_tpu_interpret_mode():
-        out = fa._flash_forward(q, k, v, scale)
+        out, lse = fa._flash_forward(q, k, v, scale)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+    # lse is a valid per-row logsumexp of the scaled logits
+    logits = jnp.einsum("bhid,bhjd->bhij", q, k) * scale
+    ref_lse = jax.scipy.special.logsumexp(logits, axis=-1)
+    np.testing.assert_allclose(np.asarray(lse), np.asarray(ref_lse),
+                               atol=2e-5)
 
 
 def test_flash_backward_matches_xla():
@@ -53,6 +58,46 @@ def test_dispatch_gate_uses_xla_on_cpu():
     q = jax.random.normal(jax.random.PRNGKey(0), (1, 2, 32, 64))
     out = scaled_dot_product_attention(q, q, q)
     assert out.shape == q.shape
+
+
+def test_flash_backward_cross_attention_nonaligned():
+    """Streaming bwd with n_q ≠ n_k and non-block-multiple lengths."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, h, nq, nk, d = 1, 2, 70, 130, 64
+    q = jax.random.normal(jax.random.PRNGKey(0), (b, h, nq, d))
+    k = jax.random.normal(jax.random.PRNGKey(1), (b, h, nk, d))
+    v = jax.random.normal(jax.random.PRNGKey(2), (b, h, nk, d))
+    scale = d ** -0.5
+
+    g_ref = jax.grad(lambda *a: jnp.sum(
+        _xla_attention(*a, scale=scale) ** 2), argnums=(0, 1, 2))(q, k, v)
+    with pltpu.force_tpu_interpret_mode():
+        g_fl = jax.grad(lambda *a: jnp.sum(
+            fa.flash_attention(*a, scale) ** 2), argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(g_ref, g_fl):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=5e-5)
+
+
+def test_flash_v2_backward_matches_xla():
+    from jax.experimental.pallas import tpu as pltpu
+
+    from vit_tpu.ops.flash_attention_v2 import flash_attention_v2
+
+    b, h, n, d = 1, 2, 300, 64
+    q = jax.random.normal(jax.random.PRNGKey(0), (b, h, n, d))
+    k = jax.random.normal(jax.random.PRNGKey(1), (b, h, n, d))
+    v = jax.random.normal(jax.random.PRNGKey(2), (b, h, n, d))
+    scale = d ** -0.5
+
+    g_ref = jax.grad(lambda *a: jnp.sum(
+        _xla_attention(*a, scale=scale) ** 2), argnums=(0, 1, 2))(q, k, v)
+    with pltpu.force_tpu_interpret_mode():
+        g_fl = jax.grad(lambda *a: jnp.sum(
+            flash_attention_v2(*a, scale, 128, 128) ** 2),
+            argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(g_ref, g_fl):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=5e-5)
 
 
 @pytest.mark.parametrize("n,d,bq,bk", [(300, 64, 128, 128), (512, 128, 256, 256)])

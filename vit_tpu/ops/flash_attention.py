@@ -11,9 +11,9 @@ Sequences are padded to the K-block size inside the wrapper; padded key
 positions are masked with -f32.max before the softmax, padded query rows are
 sliced off on return.
 
-The backward pass currently routes through the XLA attention path via
-``jax.custom_vjp`` (correct gradients, XLA-fused); a Pallas backward kernel
-is a planned optimization.
+The backward is the streaming Pallas decomposition in
+``vit_tpu.ops.flash_backward`` (O(n) residuals: the forward saves the
+per-row logsumexp; score tiles are rebuilt in VMEM, never in HBM).
 """
 
 from __future__ import annotations
@@ -48,7 +48,8 @@ def flash_attention_available() -> bool:
         return False
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, n_k: int, block_k: int):
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale: float,
+                  n_k: int, block_k: int):
     """One (batch·head, q-block) program: stream K/V blocks with online softmax.
 
     q_ref: (1, block_q, d); k_ref/v_ref: (1, n_k_padded, d); o_ref like q_ref.
@@ -82,8 +83,10 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, n_k: int, block_k
     acc0 = jnp.zeros((block_q, d), jnp.float32)
     m0 = jnp.full((block_q, 1), _NEG_INF, jnp.float32)
     l0 = jnp.zeros((block_q, 1), jnp.float32)
-    acc, _, l = jax.lax.fori_loop(0, num_kb, body, (acc0, m0, l0))
+    acc, m, l = jax.lax.fori_loop(0, num_kb, body, (acc0, m0, l0))
     o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+    # O(n) softmax residual for the streaming backward (flash_backward.py)
+    lse_ref[0] = m + jnp.log(jnp.maximum(l, 1e-30))
 
 
 def _pad_seq(x, block):
@@ -96,7 +99,8 @@ def _pad_seq(x, block):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def flash_attention(q, k, v, scale=None):
-    return _flash_forward(q, k, v, scale)
+    out, _ = _flash_forward(q, k, v, scale)
+    return out
 
 
 def _flash_forward(q, k, v, scale, block_q=None, block_k=None):
@@ -123,7 +127,7 @@ def _flash_forward(q, k, v, scale, block_q=None, block_k=None):
     vf = vp.reshape(b * h, n_kp, d)
 
     grid = (b * h, n_qp // block_q)
-    out = pl.pallas_call(
+    out, lse = pl.pallas_call(
         functools.partial(_flash_kernel, scale=scale, n_k=n_k, block_k=block_k),
         grid=grid,
         in_specs=[
@@ -134,9 +138,16 @@ def _flash_forward(q, k, v, scale, block_q=None, block_k=None):
             pl.BlockSpec((1, n_kp, d), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b * h, n_qp, d), q.dtype),
+        out_specs=[
+            pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, 1), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b * h, n_qp, d), q.dtype),
+            jax.ShapeDtypeStruct((b * h, n_qp, 1), jnp.float32),
+        ],
         cost_estimate=pl.CostEstimate(
             flops=4 * b * h * n_qp * n_kp * d,
             bytes_accessed=(qf.size + kf.size + vf.size) * qf.dtype.itemsize,
@@ -144,28 +155,22 @@ def _flash_forward(q, k, v, scale, block_q=None, block_k=None):
         ),
     )(qf, kf, vf)
 
-    out = out.reshape(b, h, n_qp, d)
-    return out[:, :, :n_q, :]
-
-
-def _xla_ref(q, k, v, scale):
-    logits = jnp.einsum("bhid,bhjd->bhij", q, k,
-                        preferred_element_type=jnp.float32) * scale
-    attn = jax.nn.softmax(logits, axis=-1)
-    out = jnp.einsum("bhij,bhjd->bhid", attn.astype(q.dtype), v,
-                     preferred_element_type=jnp.float32)
-    return out.astype(q.dtype)
+    out = out.reshape(b, h, n_qp, d)[:, :, :n_q, :]
+    lse = lse.reshape(b, h, n_qp)[:, :, :n_q]
+    return out, lse
 
 
 def _fwd(q, k, v, scale):
-    return _flash_forward(q, k, v, scale), (q, k, v)
+    out, lse = _flash_forward(q, k, v, scale)
+    return out, (q, k, v, out, lse)
 
 
 def _bwd(scale, res, g):
-    q, k, v = res
+    from vit_tpu.ops.flash_backward import flash_backward
+
+    q, k, v, out, lse = res
     s = q.shape[-1] ** -0.5 if scale is None else scale
-    _, vjp = jax.vjp(lambda q_, k_, v_: _xla_ref(q_, k_, v_, s), q, k, v)
-    return vjp(g)
+    return flash_backward(q, k, v, out, lse, g, s)
 
 
 flash_attention.defvjp(_fwd, _bwd)

@@ -7,9 +7,11 @@ streams one K/V block per step while online-softmax state (m, l, acc) lives
 in VMEM scratch that persists across the K steps of a given q block.
 Unbounded sequence length; memory O(block_q · d).
 
-Not yet the default dispatch path — v1 wins in its validated range; this is
-the long-context extension point (and the shape a ring-attention ``sp``
-decomposition would reuse, SURVEY.md §5).
+Dispatched above n_k = 4096 (``vit_tpu.ops.attention``); v1 wins in its
+whole-K-resident range.  The backward is the streaming Pallas
+decomposition in ``vit_tpu.ops.flash_backward`` (O(n) residuals).  This is
+also the shape a ring-attention ``sp`` decomposition would reuse
+(SURVEY.md §5).
 """
 
 from __future__ import annotations
@@ -33,7 +35,7 @@ BLOCK_K = 512
 _NEG_INF = -jnp.finfo(jnp.float32).max
 
 
-def _kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *,
+def _kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, acc_ref, m_ref, l_ref, *,
             scale: float, n_k: int, block_k: int):
     kb = pl.program_id(2)
     num_kb = pl.num_programs(2)
@@ -67,31 +69,27 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *,
     def _():
         o_ref[0] = (acc_ref[:] / jnp.maximum(l_ref[:], 1e-30)).astype(
             o_ref.dtype)
+        # O(n) softmax residual for the streaming backward
+        lse_ref[0] = m_ref[:] + jnp.log(jnp.maximum(l_ref[:], 1e-30))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def flash_attention_v2(q, k, v, scale=None, block_q=BLOCK_Q, block_k=BLOCK_K):
-    return _forward(q, k, v, scale, block_q, block_k)
-
-
-def _xla_ref(q, k, v, scale):
-    logits = jnp.einsum("bhid,bhjd->bhij", q, k,
-                        preferred_element_type=jnp.float32) * scale
-    attn = jax.nn.softmax(logits, axis=-1)
-    out = jnp.einsum("bhij,bhjd->bhid", attn.astype(q.dtype), v,
-                     preferred_element_type=jnp.float32)
-    return out.astype(q.dtype)
+    out, _ = _forward(q, k, v, scale, block_q, block_k)
+    return out
 
 
 def _fwd(q, k, v, scale, block_q, block_k):
-    return _forward(q, k, v, scale, block_q, block_k), (q, k, v)
+    out, lse = _forward(q, k, v, scale, block_q, block_k)
+    return out, (q, k, v, out, lse)
 
 
 def _bwd(scale, block_q, block_k, res, g):
-    q, k, v = res
+    from vit_tpu.ops.flash_backward import flash_backward
+
+    q, k, v, out, lse = res
     s = q.shape[-1] ** -0.5 if scale is None else scale
-    _, vjp = jax.vjp(lambda q_, k_, v_: _xla_ref(q_, k_, v_, s), q, k, v)
-    return vjp(g)
+    return flash_backward(q, k, v, out, lse, g, s, block_q, block_k)
 
 
 def _forward(q, k, v, scale=None, block_q=BLOCK_Q, block_k=BLOCK_K):
@@ -113,7 +111,7 @@ def _forward(q, k, v, scale=None, block_q=BLOCK_Q, block_k=BLOCK_K):
     vf = vp.reshape(b * h, n_kp, d)
 
     grid = (b * h, n_qp // block_q, n_kp // block_k)
-    out = pl.pallas_call(
+    out, lse = pl.pallas_call(
         functools.partial(_kernel, scale=scale, n_k=n_k, block_k=block_k),
         grid=grid,
         in_specs=[
@@ -124,9 +122,16 @@ def _forward(q, k, v, scale=None, block_q=BLOCK_Q, block_k=BLOCK_K):
             pl.BlockSpec((1, block_k, d), lambda i, j, kb: (i, kb, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, block_q, d), lambda i, j, kb: (i, j, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b * h, n_qp, d), q.dtype),
+        out_specs=[
+            pl.BlockSpec((1, block_q, d), lambda i, j, kb: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, 1), lambda i, j, kb: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b * h, n_qp, d), q.dtype),
+            jax.ShapeDtypeStruct((b * h, n_qp, 1), jnp.float32),
+        ],
         scratch_shapes=[
             pltpu.VMEM((block_q, d), jnp.float32),
             pltpu.VMEM((block_q, 1), jnp.float32),
@@ -139,7 +144,9 @@ def _forward(q, k, v, scale=None, block_q=BLOCK_Q, block_k=BLOCK_K):
         ),
     )(qf, kf, vf)
 
-    return out.reshape(b, h, n_qp, d)[:, :, :n_q, :]
+    out = out.reshape(b, h, n_qp, d)[:, :, :n_q, :]
+    lse = lse.reshape(b, h, n_qp)[:, :, :n_q]
+    return out, lse
 
 
 flash_attention_v2.defvjp(_fwd, _bwd)
