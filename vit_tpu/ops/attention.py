@@ -2,10 +2,29 @@
 
 The reference implements one ``Attention`` class per variant file, each with
 the same einsum pair at its core (reference vit.py:77,81).  Here there is ONE
-op with hooks, and a Pallas flash-attention kernel behind it for the plain
-path (see ``vit_tpu.ops.flash_attention``); variants that must materialize the
-attention matrix (DeepViT re-attention, CaiT talking-heads) use the XLA path
-which XLA fuses well at ViT sequence lengths.
+op with hooks; variants that must materialize the attention matrix (DeepViT
+re-attention, CaiT talking-heads) use the XLA path which XLA fuses well at
+ViT sequence lengths.
+
+Dispatch tiers (all measured on v5e — see ROUND2_NOTES.md):
+
+=============  ==============================================================
+n ≤ 2047       XLA.  At reference sequence lengths (every model in the zoo:
+               n ≤ 257) XLA keeps the n² matrix in VMEM and wins outright;
+               the *whole-block* Pallas kernels used by ``Transformer``
+               (``fused_attention_block`` / ``fused_mlp``) fuse around it
+               instead, for 16-bit models at 128 ≤ n.
+2048 … 4096    ``flash_attention`` (v1): whole-K VMEM residency,
+               1.15×/1.55× over XLA at n=2048/4096.
+> 4096         ``flash_attention_v2``: grid-streamed K/V, unbounded n,
+               1.9× at n=8192.
+=============  ==============================================================
+
+Both flash tiers differentiate through the streaming Pallas backward
+(``vit_tpu.ops.flash_backward``; O(n) residuals).  The dispatch keys on
+max(n_q, n_k); bias/mask always ride XLA.  ``vit_tpu.ops.short_attention``
+(VMEM-resident short-sequence kernel) exists for explicit use but never
+auto-dispatches — XLA beats it at the lengths it targets.
 
 Softmax numerics: logits always accumulate in float32 (``preferred_element_type``).
 For float32 models the whole softmax runs in float32.  For bfloat16 models the
