@@ -23,6 +23,13 @@ import jax
 import jax.numpy as jnp
 import optax
 
+# Persistent compile cache (same as bench.py): repeat runs skip the remote
+# compile — essential on this box where big fused-model compiles are slow.
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.dirname(
+                      os.path.abspath(__file__))), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 
 def model_registry(dtype):
     from vit_tpu import (CaiT, CrossFormer, CrossViT, DeepViT, LeViT,

@@ -12,6 +12,9 @@ def main():
     rows = [json.loads(l) for l in open(path) if l.strip()]
     rows = {r["model"]: r for r in rows if "error" not in r}.values()
 
+    models = [r for r in rows if not r["model"].endswith("_obj")]
+    objectives = [r for r in rows if r["model"].endswith("_obj")]
+
     lines = [
         "# Benchmarks",
         "",
@@ -21,11 +24,26 @@ def main():
         "| model | image | batch | infer img/s | train (fwd+bwd) img/s |",
         "|---|---|---|---|---|",
     ]
-    for r in sorted(rows, key=lambda r: -r["infer_images_per_sec_per_chip"]):
+    for r in sorted(models,
+                    key=lambda r: -r["infer_images_per_sec_per_chip"]):
         lines.append(
             f"| {r['model']} | {r['image_size']} | {r['batch']} | "
             f"{r['infer_images_per_sec_per_chip']:.0f} | "
             f"{r['train_images_per_sec_per_chip']:.0f} |")
+    if objectives:
+        lines += [
+            "",
+            "Objective wrappers (the forward *is* the loss — train step "
+            "differentiates it directly; BASELINE.md workload 5):",
+            "",
+            "| objective | image | batch | train (fwd+bwd) img/s |",
+            "|---|---|---|---|",
+        ]
+        for r in sorted(objectives,
+                        key=lambda r: -r["train_images_per_sec_per_chip"]):
+            lines.append(
+                f"| {r['model']} | {r['image_size']} | {r['batch']} | "
+                f"{r['train_images_per_sec_per_chip']:.0f} |")
     out = os.path.join(here, "BENCHMARKS.md")
     with open(out, "w") as f:
         f.write("\n".join(lines) + "\n")

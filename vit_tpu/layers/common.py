@@ -204,8 +204,10 @@ def _fused_attention_eligible(x, dropout: float, training: bool, dtype,
         and x.dtype in (jnp.bfloat16, jnp.float16)
         # Same measured window as the fused MLP: below ~128 tokens XLA's
         # batch-in-sublane layouts win (B/32 regressed); above 512 the n²
-        # temporaries outgrow the per-program VMEM budget.
+        # temporaries outgrow the per-program VMEM budget.  Narrow model
+        # dims (< a lane tile) waste the MXU — XLA handles those better.
         and 128 <= x.shape[1] <= 512
+        and x.shape[-1] >= 128
         and fused_attention_block_available()
     )
 
@@ -224,7 +226,10 @@ def _fused_mlp_eligible(x, dropout: float, training: bool, dtype,
         # Below ~128 tokens XLA lays activations out batch-in-sublanes
         # ({2,0,1}) and the kernel boundary forces relayout copies that eat
         # the win (measured: B/32 train regressed, B/16 n=197 gains 12%).
+        # Narrow model dims (< a lane tile, e.g. T2T's 27/147-dim unfold
+        # stages) waste the MXU — XLA handles those better.
         and x.shape[1] >= 128
+        and x.shape[-1] >= 128
         and fused_mlp_available()
     )
 

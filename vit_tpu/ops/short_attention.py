@@ -12,9 +12,13 @@ computes scores, a f32 softmax and the value contraction for ``g``
 batch·head slices; the backward recomputes the (tiny) softmax on-chip and
 fuses all five attention gradients.  O(n²) never touches HBM.
 
-Dispatch: 16-bit inputs, no bias/mask, n ≤ 512 (``vit_tpu.ops.attention``
-routes here between the XLA path and the long-context flash kernels).
-f32 models keep the exact XLA path that the TF-parity suite pins.
+Status: explicit-use only.  Measured on v5e, XLA's own attention keeps the
+n² matrix in VMEM at these sizes and wins standalone (0.18 vs 0.50 ms at
+b64·h12·n197·d64), so ``vit_tpu.ops.attention`` never auto-dispatches here;
+the in-model win came from fusing the *whole block* instead
+(``vit_tpu.ops.fused_attention_block``).  Kept as a building block — its
+(head-batch, n, d) tiling is the shape a masked/biased windowed-attention
+kernel would extend.
 """
 
 from __future__ import annotations
