@@ -187,9 +187,81 @@ def apply_fused_attention_block(norm: nn.Module, attn: nn.Module,
     )
 
 
-def _fused_attention_eligible(x, dropout: float, training: bool, dtype,
-                              heads: int, dim_head: int, dim: int,
-                              mode: str = "auto") -> bool:
+def apply_fused_hybrid_layer(a_norm: nn.Module, attn: nn.Module,
+                             m_norm: nn.Module, mlp: nn.Module,
+                             x: jax.Array, heads: int, dim_head: int,
+                             interpret: bool = False):
+    """One full transformer layer on batch-in-sublane (n, b, d) activations:
+
+    ``q,k,v = ln_gemm(x)`` → ``attention_nb`` → ``proj_mlp(x, oattn)``.
+
+    All three stages are Pallas kernels chained in the default (n, b, ·)
+    layout, so no relayout copies appear at any HBM boundary (an XLA
+    attention middle measured ~8 layout conversions/layer ≈ 5-7 ms/step on
+    B/32).  The row-wise pair absorbs both LayerNorms, the GELU, residuals
+    and every bias/scale gradient; ``attention_nb`` keeps the n² matrix in
+    VMEM.  Explicit-opt-in only — see ops/fused_hybrid.py for the measured
+    reason auto dispatch never takes this path.
+    """
+    from vit_tpu.ops.fused_hybrid import (
+        DEFAULT_BLOCK_T, attention_nb, ln_gemm, proj_mlp,
+    )
+
+    dummy = jnp.zeros((1, 1, x.shape[-1]), x.dtype)
+    a_norm(dummy)
+    attn(dummy)
+    m_norm(dummy)
+    mlp(dummy)
+    anp = a_norm.variables["params"]
+    ap = attn.variables["params"]
+    mnp = m_norm.variables["params"]
+    mp = mlp.variables["params"]
+
+    n, b, d = x.shape
+    inner = heads * dim_head
+    gelu = "erf" if interpret else "tanh"
+
+    x2 = x.reshape(n * b, d)
+    q2, k2, v2 = ln_gemm(
+        x2,
+        anp["scale"].astype(jnp.float32),
+        anp["bias"].astype(jnp.float32),
+        ap["to_qkv"]["kernel"].astype(x.dtype),
+        a_norm.epsilon,
+        DEFAULT_BLOCK_T,
+        interpret,
+        3,  # separate q|k|v: head groups become lane-tile-aligned blocks
+    )
+    o = attention_nb(q2.reshape(n, b, inner), k2.reshape(n, b, inner),
+                     v2.reshape(n, b, inner), heads, dim_head, None,
+                     interpret)
+    o2 = o.reshape(n * b, inner)
+    z2 = proj_mlp(
+        x2,
+        o2,
+        ap["to_out"]["kernel"].astype(x.dtype),
+        ap["to_out"]["bias"].astype(x.dtype),
+        mnp["scale"].astype(jnp.float32),
+        mnp["bias"].astype(jnp.float32),
+        mp["fc1"]["kernel"].astype(x.dtype),
+        mp["fc1"]["bias"].astype(x.dtype),
+        mp["fc2"]["kernel"].astype(x.dtype),
+        mp["fc2"]["bias"].astype(x.dtype),
+        m_norm.epsilon,
+        DEFAULT_BLOCK_T,
+        interpret,
+        gelu,
+    )
+    return z2.reshape(n, b, d)
+
+
+def _fused_attention_tier(x, dropout: float, training: bool, dtype,
+                          heads: int, dim_head: int, dim: int,
+                          mode: str = "auto"):
+    """Which fused-attention path applies to (b, n, d) activations:
+    ``False`` (XLA), ``"bmajor"`` (token-major blocks, 128 ≤ n ≤ 512), or
+    ``"nmajor"`` (batch-in-sublane blocks for short sequences — the whole
+    encoder runs transposed to (n, b, d); see fused_attention_block)."""
     from vit_tpu.ops.fused_attention_block import (
         fused_attention_block_available,
     )
@@ -197,41 +269,72 @@ def _fused_attention_eligible(x, dropout: float, training: bool, dtype,
     project_out = not (heads == 1 and dim_head == dim)
     if x.ndim != 3 or (dropout > 0.0 and training) or not project_out:
         return False
+    from vit_tpu.ops.fused_hybrid import _attn_pack
+
+    b, n = x.shape[0], x.shape[1]
     if mode == "interpret":
-        return True
-    return (
+        # CPU tests exercise both tiers: the hybrid (nmajor) layer at
+        # short sequences — where production requires the explicit
+        # "hybrid" opt-in — and the token-major block kernel above.
+        if n < 128:
+            return "nmajor" if _attn_pack(heads, dim_head) else False
+        return "bmajor"
+    if not (
         dtype in (jnp.bfloat16, jnp.float16)
         and x.dtype in (jnp.bfloat16, jnp.float16)
-        # Same measured window as the fused MLP: below ~128 tokens XLA's
-        # batch-in-sublane layouts win (B/32 regressed); above 512 the n²
-        # temporaries outgrow the per-program VMEM budget.  Narrow model
-        # dims (< a lane tile) waste the MXU — XLA handles those better.
-        and 128 <= x.shape[1] <= 512
         and x.shape[-1] >= 128
         and fused_attention_block_available()
-    )
+    ):
+        return False
+    # Token-major window: below ~128 tokens XLA lays activations out
+    # batch-in-sublanes and every kernel boundary forces a relayout copy
+    # (measured: B/32 regressed); above 512 the n² temporaries outgrow the
+    # per-program VMEM budget.
+    if 128 <= n <= 512:
+        return "bmajor"
+    # Short-sequence window (n < 128): measured NOT to pay at the B/32
+    # headline shape — the n-major↔image-major movement around the
+    # attention middle is intrinsic (~250 us per q/k/v set whether paid as
+    # in-kernel VPU transposes, XLA relayout copies, or strided per-image
+    # gathers; all three designs measured within noise of each other) and
+    # it cancels the row-kernel wins.  ``fused_attention="hybrid"`` opts in
+    # explicitly (e.g. larger-batch inference at 80 <= n < 128); auto never
+    # takes it.  Full measurements: ROUND2_NOTES.md.
+    if mode == "hybrid" and n < 128 and b >= 64 and b * n >= 2048 \
+            and _attn_pack(heads, dim_head):
+        return "nmajor"
+    return False
 
 
 def _fused_mlp_eligible(x, dropout: float, training: bool, dtype,
-                        mode: str = "auto") -> bool:
+                        mode: str = "auto", nmajor: bool = False) -> bool:
+    """x is (b, n, d) activations (pre-transpose shape even when the
+    encoder will run in the nmajor layout — the MLP kernel flattens to
+    rows either way, so only the gating differs)."""
     from vit_tpu.ops.fused_mlp import fused_mlp_available
 
     if x.ndim != 3 or (dropout > 0.0 and training):
         return False
     if mode == "interpret":  # test hook: Pallas interpreter, any backend/dtype
         return True
-    return (
+    if not (
         dtype in (jnp.bfloat16, jnp.float16)
         and x.dtype in (jnp.bfloat16, jnp.float16)
-        # Below ~128 tokens XLA lays activations out batch-in-sublanes
-        # ({2,0,1}) and the kernel boundary forces relayout copies that eat
-        # the win (measured: B/32 train regressed, B/16 n=197 gains 12%).
         # Narrow model dims (< a lane tile, e.g. T2T's 27/147-dim unfold
         # stages) waste the MXU — XLA handles those better.
-        and x.shape[1] >= 128
         and x.shape[-1] >= 128
         and fused_mlp_available()
-    )
+    ):
+        return False
+    if nmajor:
+        # Inside the batch-in-sublane encoder there is no relayout at the
+        # kernel boundary — gate only on enough rows to feed the MXU.
+        return x.shape[0] * x.shape[1] >= 2048
+    # Token-major: below ~128 tokens XLA lays activations out
+    # batch-in-sublanes ({2,0,1}) and the kernel boundary forces relayout
+    # copies that eat the win (measured: B/32 train regressed, B/16 n=197
+    # gains 12%).
+    return x.shape[1] >= 128
 
 
 class Transformer(nn.Module):
@@ -246,6 +349,13 @@ class Transformer(nn.Module):
     same math, one VMEM-resident pass instead of XLA's separate LN/GELU/bias
     round trips.  f32 models keep the exact XLA path the parity suite pins.
     ``fused_mlp='never'`` opts out.
+
+    ``fused_attention`` modes: ``"auto"`` (token-major fused attention
+    block in the measured 128 <= n <= 512 window, XLA elsewhere),
+    ``"hybrid"`` (additionally allows the batch-in-sublane short-sequence
+    tier at n < 128 — measured NOT to pay at the B/32 headline shape, see
+    ops/fused_hybrid.py), ``"interpret"`` (Pallas interpreter, tests),
+    ``"never"``.
     """
 
     dim: int
@@ -260,6 +370,19 @@ class Transformer(nn.Module):
 
     @nn.compact
     def __call__(self, x, training: bool = False):
+        fa_tier = self.fused_attention != "never" and _fused_attention_tier(
+            x, self.dropout, training, self.dtype, self.heads,
+            self.dim_head, self.dim, self.fused_attention)
+        nmajor = fa_tier == "nmajor"
+        use_fused_mlp = self.fused_mlp != "never" and _fused_mlp_eligible(
+            x, self.dropout, training, self.dtype, self.fused_mlp,
+            nmajor=nmajor)
+        if nmajor:
+            # Short-sequence tier: the whole stack runs batch-in-sublane
+            # (n, b, d) — byte-identical to the {2,0,1} layout XLA prefers
+            # at n < 128, so kernels chain with no relayout copies.  The
+            # two transposes here are the only layout traffic.
+            x = jnp.swapaxes(x, 0, 1)
         for i in range(self.depth):
             a_norm = LayerNorm(dtype=self.dtype, name=f"attn_norm_{i}")
             attn = Attention(
@@ -270,14 +393,6 @@ class Transformer(nn.Module):
                 dtype=self.dtype,
                 name=f"attn_{i}",
             )
-            if self.fused_attention != "never" and _fused_attention_eligible(
-                    x, self.dropout, training, self.dtype, self.heads,
-                    self.dim_head, self.dim, self.fused_attention):
-                x = apply_fused_attention_block(
-                    a_norm, attn, x, self.heads, self.dim_head,
-                    interpret=self.fused_attention == "interpret")
-            else:
-                x = x + attn(a_norm(x), training=training)
             norm = LayerNorm(dtype=self.dtype, name=f"mlp_norm_{i}")
             mlp = MLP(
                 self.dim,
@@ -286,12 +401,24 @@ class Transformer(nn.Module):
                 dtype=self.dtype,
                 name=f"mlp_{i}",
             )
-            if self.fused_mlp != "never" and _fused_mlp_eligible(
-                    x, self.dropout, training, self.dtype, self.fused_mlp):
+            if nmajor:
+                x = apply_fused_hybrid_layer(
+                    a_norm, attn, norm, mlp, x, self.heads, self.dim_head,
+                    interpret=self.fused_attention == "interpret")
+                continue
+            if fa_tier:
+                x = apply_fused_attention_block(
+                    a_norm, attn, x, self.heads, self.dim_head,
+                    interpret=self.fused_attention == "interpret")
+            else:
+                x = x + attn(a_norm(x), training=training)
+            if use_fused_mlp:
                 x = apply_fused_mlp_block(
                     norm, mlp, x, interpret=self.fused_mlp == "interpret")
             else:
                 x = x + mlp(norm(x), training=training)
+        if nmajor:
+            x = jnp.swapaxes(x, 0, 1)
         return x
 
 

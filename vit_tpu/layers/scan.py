@@ -37,16 +37,18 @@ class _Block(nn.Module):
     @nn.compact
     def __call__(self, x, _=None):
         from vit_tpu.layers.common import (
-            _fused_attention_eligible, _fused_mlp_eligible,
+            _fused_attention_tier, _fused_mlp_eligible,
             apply_fused_attention_block, apply_fused_mlp_block,
         )
 
         norm = LayerNorm(dtype=self.dtype, name="attn_norm")
         attn = Attention(self.dim, heads=self.heads, dim_head=self.dim_head,
                          dropout=self.dropout, dtype=self.dtype, name="attn")
-        if self.fused != "never" and _fused_attention_eligible(
+        # Only the token-major tier composes with scan (the nmajor tier
+        # transposes around the whole unrolled stack, which scan can't).
+        if self.fused != "never" and _fused_attention_tier(
                 x, self.dropout, self.training, self.dtype, self.heads,
-                self.dim_head, self.dim, self.fused):
+                self.dim_head, self.dim, self.fused) == "bmajor":
             x = apply_fused_attention_block(
                 norm, attn, x, self.heads, self.dim_head,
                 interpret=self.fused == "interpret")

@@ -119,6 +119,25 @@ def scaled_dot_product_attention(
     return _xla_attention(q, k, v, scale=scale, bias=bias, mask=mask)
 
 
+def softmax_lastdim(logits, out_dtype):
+    """Softmax over the last axis with the production storage policy.
+
+    bfloat16 output: half-traffic softmax — the materialized n×n matrix is
+    the HBM bottleneck at ViT sequence lengths (profiled at ~half the
+    device time of a B/16 forward when stored f32).  exp accumulates
+    through f32 and the denominator sums in f32 (bf16 loses precision over
+    thousands of terms); only the reciprocal is rounded back, so the n×n
+    matrix itself stays bf16.  Other dtypes keep the exact f32 path.
+    """
+    if out_dtype == jnp.bfloat16:
+        logits = logits.astype(jnp.bfloat16)
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        e = jnp.exp((logits - m).astype(jnp.float32)).astype(jnp.bfloat16)
+        den = jnp.sum(e, axis=-1, keepdims=True, dtype=jnp.float32)
+        return e * (1.0 / den).astype(jnp.bfloat16)
+    return jax.nn.softmax(logits, axis=-1).astype(out_dtype)
+
+
 def _xla_attention(q, k, v, *, scale, bias=None, mask=None):
     out_dtype = q.dtype
     logits = jnp.einsum(
@@ -130,22 +149,7 @@ def _xla_attention(q, k, v, *, scale, bias=None, mask=None):
     if mask is not None:
         logits = jnp.where(mask, logits, mask_value(logits.dtype))
 
-    if out_dtype == jnp.bfloat16:
-        # Half-traffic softmax for the production dtype: the materialized
-        # n×n matrix is the HBM bottleneck at ViT sequence lengths (profiled
-        # at ~half the device time of a B/16 forward when stored f32).
-        # exp still accumulates through f32; f32 models keep the exact path.
-        logits = logits.astype(jnp.bfloat16)
-        m = jnp.max(logits, axis=-1, keepdims=True)
-        e = jnp.exp((logits - m).astype(jnp.float32)).astype(jnp.bfloat16)
-        # Denominator accumulates in f32 (bf16 loses precision summing
-        # thousands of terms); only its reciprocal is rounded back, so the
-        # n×n matrix itself stays bf16 and keeps the HBM win.
-        den = jnp.sum(e, axis=-1, keepdims=True, dtype=jnp.float32)
-        attn = e * (1.0 / den).astype(jnp.bfloat16)
-    else:
-        attn = jax.nn.softmax(logits, axis=-1).astype(out_dtype)
-
+    attn = softmax_lastdim(logits, out_dtype)
     out = jnp.einsum(
         "bhij,bhjd->bhid", attn, v, preferred_element_type=jnp.float32,
     )
