@@ -96,8 +96,28 @@ class ViT(nn.Module):
 
     # ---------------------------------------------------------------------
     def embed(self, img: jax.Array, training: bool = False) -> jax.Array:
-        """Shared embed path: patchify → embed → +CLS → +pos → dropout."""
-        x = self.patch_to_emb(self.to_patch(img))
+        """Shared embed path: patchify → embed → +CLS → +pos → dropout.
+
+        Large patches (patch_dim ≥ ~1536, e.g. the canonical /32 configs)
+        route through :func:`vit_tpu.ops.patchify.patch_embed` — XLA's
+        fused-transpose GEMM runs at ~40% MXU rate there (measured ×1.9
+        slower than the einsum form on v5e); small patches keep the
+        fused form, which wins at that shape.  Same math either way.
+        """
+        from vit_tpu.ops.patchify import patch_embed, patch_embed_wins
+
+        ph, pw = pair(self.patch_size)
+        c = img.shape[-1]
+        if patch_embed_wins(ph, pw, c):
+            # Dummy-declare the Dense so its params exist, then run the
+            # einsum form over the same kernel/bias.
+            self.patch_embedding(jnp.zeros((1, 1, ph * pw * c), img.dtype))
+            pp = self.patch_embedding.variables["params"]
+            x = patch_embed(img.astype(self.dtype),
+                            pp["kernel"].astype(self.dtype),
+                            pp["bias"].astype(self.dtype), ph, pw)
+        else:
+            x = self.patch_to_emb(self.to_patch(img))
         b, n, _ = x.shape
         cls_tokens = repeat(self.cls_token.astype(x.dtype),
                             "() n d -> b n d", b=b)

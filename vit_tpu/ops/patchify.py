@@ -30,6 +30,36 @@ def patchify(img: jax.Array, patch_height: int, patch_width: int) -> jax.Array:
     )
 
 
+def patch_embed(img: jax.Array, kernel: jax.Array, bias: jax.Array,
+                patch_height: int, patch_width: int) -> jax.Array:
+    """Fused patchify + linear embedding: NHWC image → (b, n, dim) tokens.
+
+    Same math as ``patchify(img, ph, pw) @ kernel + bias`` (reference
+    vit.py:141-144) — but expressed as a 5-D einsum over all-bitcast views
+    so XLA contracts (p1, p2·c) directly instead of fusing the 6-D patch
+    transpose into the GEMM.  Measured on v5e (bf16): the fused-transpose
+    GEMM runs at ~40% MXU rate at patch 32 (845 us for B/32 @256), while
+    this form hits 437 us; at patch 16 the fused form is already fine
+    (317 vs 344 us), so callers gate on ``patch_embed_wins``.
+    """
+    b, hh, ww, c = img.shape
+    gh, gw = hh // patch_height, ww // patch_width
+    d = kernel.shape[-1]
+    # rows (hh) = (gh, p1) and lanes (ww·c) = (gw, p2·c): pure bitcasts.
+    x5 = img.reshape(b, gh, patch_height, gw, patch_width * c)
+    w3 = kernel.reshape(patch_height, patch_width * c, d)
+    out = jnp.einsum("bgpjl,pld->bgjd", x5, w3,
+                     preferred_element_type=jnp.float32)
+    return (out.reshape(b, gh * gw, d) + bias).astype(img.dtype)
+
+
+def patch_embed_wins(patch_height: int, patch_width: int, channels: int = 3,
+                     ) -> bool:
+    """Whether the einsum form beats XLA's fused-transpose GEMM — measured
+    crossover is patch_dim ≥ ~1536 (patch 32 wins ×1.9, patch 16 loses 9%)."""
+    return patch_height * patch_width * channels >= 1536
+
+
 def unpatchify(tokens: jax.Array, h: int, w: int, patch_height: int,
                patch_width: int, channels: int) -> jax.Array:
     """Inverse of :func:`patchify`."""
