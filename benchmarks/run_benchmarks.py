@@ -201,8 +201,12 @@ def bench_model(name, model, image_size, batch, dtype):
     variables = model.init(jax.random.PRNGKey(0), img)
     has_bn = "batch_stats" in variables
 
+    # Serving setup for the inference row: weights pre-cast to the compute
+    # dtype once (per-step f32→bf16 converts cost 0.4 ms/step on B/16).
+    from vit_tpu import cast_params
+    serve_vars = cast_params(variables, dtype)
     fwd = jax.jit(lambda v, x: model.apply(v, x))
-    infer = benchmark_throughput(functools.partial(fwd, variables, img),
+    infer = benchmark_throughput(functools.partial(fwd, serve_vars, img),
                                  batch=batch)
 
     tx = optax.sgd(1e-3)

@@ -131,3 +131,26 @@ def test_vjp_self_consistent_tanh():
                           gf, gr):
         scale = jnp.max(jnp.abs(b)) + 1e-6
         assert jnp.max(jnp.abs(a - b)) / scale < 1e-5, name
+
+
+def test_forward_vjp_3d():
+    """3-D (b, n, d) input takes the batch-blocked path (no host-side
+    flatten); forward and all grads must match the flattened reference."""
+    b, n, d, hd = 6, 33, 96, 160
+    args2 = _args(t=b * n, d=d, hd=hd)
+    args3 = (args2[0].reshape(b, n, d),) + args2[1:]
+
+    y = fused_mlp(*args3, 1e-3, 64, True, "erf")
+    yr = _ref_mlp(*args2).reshape(b, n, d)
+    assert y.shape == (b, n, d)
+    assert jnp.max(jnp.abs(y - yr)) < 1e-5
+
+    gf = jax.grad(lambda a: jnp.sum(jnp.sin(
+        fused_mlp(*a, 1e-3, 64, True, "erf"))))(args3)
+    gr = jax.grad(lambda a: jnp.sum(jnp.sin(_ref_mlp(*a))))(args2)
+    for name, a, r in zip(["dx", "dgamma", "dbeta", "dw1", "db1", "dw2",
+                           "db2"], gf, gr):
+        if name == "dx":
+            a = a.reshape(b * n, d)
+        rel = jnp.max(jnp.abs(a - r)) / (jnp.max(jnp.abs(r)) + 1e-6)
+        assert rel < 1e-5, f"{name}: rel err {rel}"

@@ -11,6 +11,7 @@ module under ``vit_tpu.models``.
 """
 
 from vit_tpu.core.bind import BoundModel, bind
+from vit_tpu.core.helpers import cast_params
 from vit_tpu.models.cait import CaiT
 from vit_tpu.models.cct import CCT, cct_2, cct_4, cct_6, cct_7, cct_8, cct_14, cct_16
 from vit_tpu.models.cross_vit import CrossViT
@@ -36,7 +37,7 @@ from vit_tpu.objectives.mpp import MPP
 from vit_tpu.objectives.simmim import SimMIM
 
 __all__ = [
-    "bind", "BoundModel",
+    "bind", "BoundModel", "cast_params",
     "ViT", "DeepViT", "CaiT", "CrossViT", "SPT", "LSA", "PatchMerger",
     "T2TViT", "PiT", "CCT", "LeViT", "CvT", "TwinsSVT", "CrossFormer",
     "RegionViT", "ScalableViT", "NesT", "MobileViT",

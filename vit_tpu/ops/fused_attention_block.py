@@ -66,8 +66,13 @@ def _roundup(x: int, m: int) -> int:
 
 
 def _batch_per_program(n: int, dmodel: int, inner: int, itemsize: int,
-                       bwd: bool) -> int:
-    """Images per program such that blocks + weights + temps fit VMEM."""
+                       bwd: bool, b: int | None = None) -> int:
+    """Images per program such that blocks + weights + temps fit VMEM.
+
+    Prefers a VMEM-fitting bb that DIVIDES the actual batch: a dividing
+    block removes the explicit pad/slice ops around the kernel (measured
+    ~1.2 ms/step of pad/reshape/slice at B/16 inference, where the cap of
+    9 padded batch 64 → 72)."""
     n_p = _roundup(n, 16)
     n_lane = _roundup(n, 128)
     weights = 2 * (dmodel * 3 * inner + inner * dmodel) * itemsize  # +transposed
@@ -75,7 +80,16 @@ def _batch_per_program(n: int, dmodel: int, inner: int, itemsize: int,
         + (6 if bwd else 2) * n_p * n_lane * 4
     budget = 48 * 1024 * 1024 - weights
     bb = max(1, budget // max(per_img, 1))
-    return int(min(bb, 16))
+    bb = int(min(bb, 16))
+    if b is not None and b > bb:
+        for cand in range(bb, 0, -1):
+            if b % cand == 0:
+                # Don't trade a tiny grid block for padding: a divisor at
+                # least half the cap keeps per-program GEMMs fed.
+                if cand >= max(1, bb // 2):
+                    return cand
+                break
+    return bb
 
 
 # --- forward -------------------------------------------------------------------
@@ -104,10 +118,13 @@ def _fwd_kernel(x_ref, g_ref, b_ref, wqkv_ref, wo_ref, bo_ref,
         q = qkv3[:, :, off:off + dim_head]
         k = qkv3[:, :, inner + off:inner + off + dim_head]
         v = qkv3[:, :, 2 * inner + off:2 * inner + off + dim_head]
+        # Input-dtype dots with f32 ACCUMULATION — explicit f32 operand
+        # casts force f32-rate MXU matmuls; the scale folds into the f32
+        # logits instead (measured on the short-seq kernels: ~6% of the
+        # whole kernel at B/32-class shapes, more where dots dominate).
         s = jax.lax.dot_general(
-            q.astype(jnp.float32) * scale, k.astype(jnp.float32),
-            (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)  # (bb, n, n)
+            q, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32) * scale  # (bb, n, n) f32
         p = _softmax(s).astype(x.dtype)
         o = jax.lax.dot_general(
             p, v, (((2,), (1,)), ((0,), (0,))),
@@ -148,33 +165,37 @@ def _bwd_kernel(dy_ref, x_ref, qkv_ref, g_ref, wqkvt_ref, wot_ref,
 
     qkv3 = qkv_ref[:]
     dqs, dks, dvs = [], [], []
+    dt = dy.dtype
     for h in range(heads):
         off = h * dim_head
-        q = qkv3[:, :, off:off + dim_head].astype(jnp.float32)
-        k = qkv3[:, :, inner + off:inner + off + dim_head].astype(jnp.float32)
-        v = qkv3[:, :, 2 * inner + off:2 * inner + off + dim_head].astype(jnp.float32)
-        do = do3[:, :, off:off + dim_head].astype(jnp.float32)
+        # Input-dtype dots, f32 accumulation (see _fwd_kernel); the f32
+        # probability/score intermediates round to dt only where they feed
+        # an MXU operand.
+        q = qkv3[:, :, off:off + dim_head]
+        k = qkv3[:, :, inner + off:inner + off + dim_head]
+        v = qkv3[:, :, 2 * inner + off:2 * inner + off + dim_head]
+        do = do3[:, :, off:off + dim_head]
 
         s = jax.lax.dot_general(
-            q * scale, k, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)
-        p = _softmax(s)  # (bb, n, n)
+            q, k, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32) * scale
+        p = _softmax(s)  # (bb, n, n) f32
+        pd = p.astype(dt)
 
         dv = jax.lax.dot_general(
-            p, do, (((1,), (1,)), ((0,), (0,))),
+            pd, do, (((1,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)  # p^T @ do
         dp = jax.lax.dot_general(
             do, v, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)
         dsum = jnp.sum(dp * p, axis=-1, keepdims=True)
-        ds = p * (dp - dsum) * scale
+        ds = (p * (dp - dsum) * scale).astype(dt)
         dq = jax.lax.dot_general(
             ds, k, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)
         dk = jax.lax.dot_general(
             ds, q, (((1,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)  # ds^T @ q
-        dt = dy.dtype
         dqs.append(dq.astype(dt)); dks.append(dk.astype(dt)); dvs.append(dv.astype(dt))
 
     dqkv = jnp.concatenate(dqs + dks + dvs, axis=-1)  # (bb, n, 3·inner)
@@ -215,7 +236,7 @@ def _forward(x, gamma, beta, wqkv, wo, bo, heads, dim_head, scale, eps,
     b, n, dmodel = x.shape
     inner = heads * dim_head
     dt = x.dtype
-    bb = min(_batch_per_program(n, dmodel, inner, dt.itemsize, bwd=False), b)
+    bb = min(_batch_per_program(n, dmodel, inner, dt.itemsize, bwd=False, b=b), b)
     xp = _pad_batch(x, bb)
     bp = xp.shape[0]
     row = lambda a: a.reshape(1, -1)
@@ -272,7 +293,7 @@ def _backward(dy, x, qkv, gamma, wqkv, wo, heads, dim_head, scale, eps,
     b, n, dmodel = x.shape
     inner = heads * dim_head
     dt = x.dtype
-    bb = min(_batch_per_program(n, dmodel, inner, dt.itemsize, bwd=True), b)
+    bb = min(_batch_per_program(n, dmodel, inner, dt.itemsize, bwd=True, b=b), b)
     dyp, xp, qkvp = _pad_batch(dy, bb), _pad_batch(x, bb), _pad_batch(qkv, bb)
     bp = xp.shape[0]
     wqkvt = wqkv.T  # (3·inner, dmodel)

@@ -41,7 +41,10 @@ except Exception:  # pragma: no cover
     _PALLAS_OK = False
 
 DEFAULT_BLOCK_T = 256
-_VMEM_LIMIT = 64 * 1024 * 1024  # v5e has 128M physical; leave headroom
+_VMEM_LIMIT = 96 * 1024 * 1024  # v5e has 128M physical; leave headroom
+# (96M lets the 3-D batch-blocked path fit two images per program at
+# B/16-class shapes — bb=1 under the old 64M budget left the MXU at
+# 197-row GEMMs; measured as a small but real loss.)
 
 
 def _fit_block_t(block_t: int, d: int, hdim: int, itemsize: int,
@@ -133,25 +136,30 @@ def _ln_stats(x32, eps):
 
 def _fwd_kernel(x_ref, g_ref, b_ref, w1_ref, b1_ref, w2_ref, b2_ref,
                 y_ref, xn_ref=None, h_ref=None, *, eps, gelu):
+    # Blocks may be (rows, d) or (bb, n, d) — the math is row-wise either
+    # way, so flatten 3-D blocks on entry (in-VMEM, same trick as the
+    # fused attention block) and restore shape at the stores.
     x = x_ref[:]
+    shp = x.shape
+    x = x.reshape(-1, shp[-1])
     x32 = x.astype(jnp.float32)
     mu, rstd = _ln_stats(x32, eps)
     xn32 = (x32 - mu) * rstd * g_ref[:].astype(jnp.float32) \
         + b_ref[:].astype(jnp.float32)
     xn = xn32.astype(x.dtype)
     if xn_ref is not None:
-        xn_ref[:] = xn
+        xn_ref[:] = xn.reshape(shp)
 
     h32 = jnp.dot(xn, w1_ref[:], preferred_element_type=jnp.float32) \
         + b1_ref[:].astype(jnp.float32)
     if h_ref is not None:
-        h_ref[:] = h32.astype(x.dtype)
+        h_ref[:] = h32.astype(x.dtype).reshape(shp[:-1] + h32.shape[-1:])
     g32 = _gelu(h32, gelu)
 
     o32 = jnp.dot(g32.astype(x.dtype), w2_ref[:],
                   preferred_element_type=jnp.float32) \
         + b2_ref[:].astype(jnp.float32)
-    y_ref[:] = x + o32.astype(x.dtype)
+    y_ref[:] = (x + o32.astype(x.dtype)).reshape(shp)
 
 
 # --- backward -----------------------------------------------------------------
@@ -169,9 +177,12 @@ def _bwd_kernel(dy_ref, x_ref, h_ref, g_ref, w1t_ref, w2t_ref,
         db2_ref[:] = jnp.zeros_like(db2_ref)
 
     dy = dy_ref[:]
+    shp = dy.shape
+    hshp = h_ref.shape
+    dy = dy.reshape(-1, shp[-1])
     dy32 = dy.astype(jnp.float32)
-    x32 = x_ref[:].astype(jnp.float32)
-    h32 = h_ref[:].astype(jnp.float32)
+    x32 = x_ref[:].reshape(-1, shp[-1]).astype(jnp.float32)
+    h32 = h_ref[:].reshape(-1, hshp[-1]).astype(jnp.float32)
     gamma32 = g_ref[:].astype(jnp.float32)
 
     # dgrad through fc2 and the GELU.  Weights arrive pre-transposed so both
@@ -180,10 +191,10 @@ def _bwd_kernel(dy_ref, x_ref, h_ref, g_ref, w1t_ref, w2t_ref,
                        preferred_element_type=jnp.float32)  # (bt, H)
     dh32 = dgelu_in * _dgelu(h32, gelu)
     dh = dh32.astype(dy.dtype)
-    dh_ref[:] = dh
+    dh_ref[:] = dh.reshape(hshp)
     # Re-emit the GELU activation so the XLA dW2 GEMM reads it directly
     # instead of re-materializing gelu(h) in a separate fusion.
-    gact_ref[:] = _gelu(h32, gelu).astype(dy.dtype)
+    gact_ref[:] = _gelu(h32, gelu).astype(dy.dtype).reshape(hshp)
 
     # dgrad through fc1 → gradient w.r.t. the scaled-normalized activation
     dxn32 = jnp.dot(dh, w1t_ref[:],
@@ -197,7 +208,7 @@ def _bwd_kernel(dy_ref, x_ref, h_ref, g_ref, w1t_ref, w2t_ref,
     m2 = jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
     dx_ln = rstd * (dxhat - m1 - xhat * m2)
 
-    dx_ref[:] = dy + dx_ln.astype(dy.dtype)
+    dx_ref[:] = (dy + dx_ln.astype(dy.dtype)).reshape(shp)
 
     # scale/shift and bias gradients, accumulated across the sequential grid
     dg_out_ref[:] += jnp.sum(dxn32 * xhat, axis=0, keepdims=True)
@@ -212,12 +223,31 @@ def _pad_tokens(x, block_t):
     t = x.shape[0]
     pad = (-t) % block_t
     if pad:
-        x = jnp.pad(x, ((0, pad), (0, 0)))
+        x = jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1))
     return x
+
+
+def _batch_block(b: int, n: int, rows_cap: int, dt) -> int:
+    """Images per program for the 3-D path: VMEM-capped via the row budget,
+    preferring a divisor of b (a dividing block needs no batch padding)."""
+    n_p = -(-n // _sublane(dt)) * _sublane(dt)  # sublane-padded rows/image
+    bb = min(16, max(1, rows_cap // max(n_p, 1)), b)
+    for cand in range(bb, 0, -1):
+        if b % cand == 0 and cand >= max(1, bb // 2):
+            return cand
+    return bb
+
+
+def _specs3(bb, n, cols):
+    return pl.BlockSpec((bb, n, cols), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
 
 
 def _forward(x, gamma, beta, w1, b1, w2, b2, eps, block_t, interpret=False,
              save_residuals=True, gelu="tanh"):
+    if x.ndim == 3:
+        return _forward3(x, gamma, beta, w1, b1, w2, b2, eps, block_t,
+                         interpret, save_residuals, gelu)
     t, d = x.shape
     hdim = w1.shape[1]
     dt = x.dtype
@@ -274,8 +304,127 @@ def _forward(x, gamma, beta, w1, b1, w2, b2, eps, block_t, interpret=False,
     return out[0][:t], None, None
 
 
+def _forward3(x, gamma, beta, w1, b1, w2, b2, eps, block_t, interpret,
+              save_residuals, gelu):
+    """3-D (b, n, d) path: batch-blocked, no token flattening outside the
+    kernel.  The 2-D path's host-side flatten of a (b, n, d) array is a
+    REAL copy whenever n isn't a sublane multiple (the tiled layout pads n
+    per image) — measured 51 us × 12 layers of reshape plus pad/slice pairs
+    on B/16 inference.  Blocking (bb, n, d) reads the padded layout
+    directly and flattens in VMEM."""
+    b, n, d = x.shape
+    hdim = w1.shape[1]
+    dt = x.dtype
+    rows_cap = _fit_block_t(max(block_t, 512), d, hdim, dt.itemsize,
+                            bwd=False)
+    bb = _batch_block(b, n, rows_cap, dt)
+    xp = _pad_tokens(x, bb)
+    bp = xp.shape[0]
+
+    row = lambda a: a.reshape(1, -1)
+    if save_residuals:
+        kernel = functools.partial(_fwd_kernel, eps=eps, gelu=gelu)
+        extra_out_specs = [_specs3(bb, n, d), _specs3(bb, n, hdim)]
+        extra_out_shape = [
+            jax.ShapeDtypeStruct((bp, n, d), dt),
+            jax.ShapeDtypeStruct((bp, n, hdim), dt),
+        ]
+    else:
+        kernel = functools.partial(_fwd_kernel, eps=eps, gelu=gelu,
+                                   xn_ref=None, h_ref=None)
+        extra_out_specs, extra_out_shape = [], []
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(bp // bb,),
+        in_specs=[
+            _specs3(bb, n, d),
+            pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, hdim), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hdim), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((hdim, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[_specs3(bb, n, d)] + extra_out_specs,
+        out_shape=[jax.ShapeDtypeStruct((bp, n, d), dt)] + extra_out_shape,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * bp * n * d * hdim,
+            bytes_accessed=(3 * bp * n * d + bp * n * hdim
+                            + 2 * d * hdim) * dt.itemsize,
+            transcendentals=bp * n * hdim,
+        ),
+        interpret=interpret,
+    )(xp, row(gamma).astype(dt), row(beta).astype(dt), w1, row(b1),
+      w2, row(b2))
+    if save_residuals:
+        y, xn, h = out
+        return y[:b], xn[:b], h[:b]
+    return out[0][:b], None, None
+
+
+def _backward3(dy, x, h, gamma, w1, w2, eps, block_t, interpret, gelu):
+    b, n, d = x.shape
+    hdim = w1.shape[1]
+    dt = x.dtype
+    rows_cap = _fit_block_t(max(block_t, 512), d, hdim, dt.itemsize, bwd=True)
+    bb = _batch_block(b, n, rows_cap, dt)
+    dyp = _pad_tokens(dy, bb)
+    xp = _pad_tokens(x, bb)
+    hp = _pad_tokens(h, bb)
+    bp = xp.shape[0]
+
+    w1t = w1.T
+    w2t = w2.T
+    kernel = functools.partial(_bwd_kernel, eps=eps, gelu=gelu)
+    dx, dh, gact, dgamma, dbeta, db1, db2 = pl.pallas_call(
+        kernel,
+        grid=(bp // bb,),
+        in_specs=[
+            _specs3(bb, n, d),
+            _specs3(bb, n, d),
+            _specs3(bb, n, hdim),
+            pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((hdim, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, hdim), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            _specs3(bb, n, d),
+            _specs3(bb, n, hdim),
+            _specs3(bb, n, hdim),
+            pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hdim), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bp, n, d), dt),
+            jax.ShapeDtypeStruct((bp, n, hdim), dt),
+            jax.ShapeDtypeStruct((bp, n, hdim), dt),
+            jax.ShapeDtypeStruct((1, d), jnp.float32),
+            jax.ShapeDtypeStruct((1, d), jnp.float32),
+            jax.ShapeDtypeStruct((1, hdim), jnp.float32),
+            jax.ShapeDtypeStruct((1, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * bp * n * d * hdim,
+            bytes_accessed=2 * (4 * bp * n * d + 2 * bp * n * hdim
+                                + 2 * d * hdim),
+            transcendentals=2 * bp * n * hdim,
+        ),
+        interpret=interpret,
+    )(dyp, xp, hp, gamma.reshape(1, -1).astype(dt), w1t, w2t)
+    return (dx[:b], dh[:b], gact[:b], dgamma.reshape(-1), dbeta.reshape(-1),
+            db1.reshape(-1), db2.reshape(-1))
+
+
 def _backward(dy, x, h, gamma, w1, w2, eps, block_t, interpret=False,
               gelu="tanh"):
+    if x.ndim == 3:
+        return _backward3(dy, x, h, gamma, w1, w2, eps, block_t, interpret,
+                          gelu)
     t, d = x.shape
     hdim = w1.shape[1]
     dt = x.dtype
@@ -340,11 +489,13 @@ def _sublane(dt) -> int:
 def fused_mlp(x, gamma, beta, w1, b1, w2, b2,
               eps: float = 1e-3, block_t: int = DEFAULT_BLOCK_T,
               interpret: bool = False, gelu: str = "tanh"):
-    """``x + (gelu(LN(x)·γβ @ w1 + b1) @ w2 + b2)`` over (tokens, dim).
+    """``x + (gelu(LN(x)·γβ @ w1 + b1) @ w2 + b2)`` over token rows.
 
-    x: (t, d) activations (bf16 on the production path).
-    gamma/beta: (d,) f32 LN scale/shift.  w1: (d, h), b1: (h,), w2: (h, d),
-    b2: (d,) — already in the compute dtype.
+    x: (t, d) or (b, n, d) activations (bf16 on the production path) —
+    3-D input takes the batch-blocked path, which avoids the real
+    reshape/pad/slice copies the host-side flatten costs when n isn't a
+    sublane multiple.  gamma/beta: (d,) f32 LN scale/shift.  w1: (d, h),
+    b1: (h,), w2: (h, d), b2: (d,) — already in the compute dtype.
     """
     y, _, _ = _forward(x, gamma, beta, w1, b1, w2, b2, eps, block_t,
                        interpret, save_residuals=False, gelu=gelu)
@@ -362,13 +513,14 @@ def _vjp_bwd(eps, block_t, interpret, gelu, res, dy):
     dx, dh, gact, dgamma, dbeta, db1, db2 = _backward(
         dy, x, h, gamma, w1, w2, eps, block_t, interpret, gelu=gelu)
     # Weight gradients: plain near-peak GEMMs over the saved residuals
-    # (gact re-emitted by the backward kernel).
+    # (gact re-emitted by the backward kernel).  On the 3-D path the
+    # token axes contract directly — no host-side flatten copy.
+    cdims = tuple(range(dy.ndim - 1))
+    dims = ((cdims, cdims), ((), ()))
     dw1 = jax.lax.dot_general(
-        xn, dh, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32).astype(w1.dtype)
+        xn, dh, dims, preferred_element_type=jnp.float32).astype(w1.dtype)
     dw2 = jax.lax.dot_general(
-        gact, dy, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32).astype(w2.dtype)
+        gact, dy, dims, preferred_element_type=jnp.float32).astype(w2.dtype)
     return (dx, dgamma, dbeta, dw1, db1.astype(w1.dtype), dw2,
             db2.astype(w2.dtype))
 
@@ -379,8 +531,6 @@ fused_mlp.defvjp(_vjp_fwd, _vjp_bwd)
 def fused_mlp_3d(x, gamma, beta, w1, b1, w2, b2, eps: float = 1e-3,
                  block_t: int = DEFAULT_BLOCK_T, interpret: bool = False,
                  gelu: str = "tanh"):
-    """(b, n, d) convenience wrapper — flattens tokens, restores shape."""
-    b, n, d = x.shape
-    y = fused_mlp(x.reshape(b * n, d), gamma, beta, w1, b1, w2, b2,
-                  eps, block_t, interpret, gelu)
-    return y.reshape(b, n, d)
+    """(b, n, d) alias — fused_mlp handles 3-D natively now."""
+    return fused_mlp(x, gamma, beta, w1, b1, w2, b2, eps, block_t,
+                     interpret, gelu)
