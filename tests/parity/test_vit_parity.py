@@ -68,3 +68,29 @@ def test_from_tensorflow_dispatch(tf):
     variables = from_tensorflow(tfm, variables)
     assert_close(ours.apply(variables, jnp.asarray(img)), tf_out,
                  label="from_tensorflow ViT")
+
+
+def test_vit_large_patch_einsum_embed_parity(tf):
+    """patch_dim >= 1536 routes through the 5-D einsum patch embedding
+    (ops/patchify.patch_embed) — pin that path against the reference too
+    (the other configs here use patch 16/8, which keep the fused form)."""
+    import vit as ref_vit
+
+    from vit_tpu.ops.patchify import patch_embed_wins
+
+    cfg = dict(
+        image_size=64, patch_size=32, num_classes=13,
+        dim=128, depth=2, heads=4, mlp_dim=256, dim_head=32,
+    )
+    assert patch_embed_wins(32, 32, 3)
+    img = np.random.RandomState(3).randn(2, 64, 64, 3).astype(np.float32)
+
+    tfm = ref_vit.ViT(**cfg)
+    tf_out = tfm(tf.constant(img), training=False).numpy()
+
+    ours = ViT(**cfg)
+    variables = ours.init(jax.random.PRNGKey(0), jnp.asarray(img))
+    variables = tf_weights.transplant_vit(tfm, variables)
+    jax_out = ours.apply(variables, jnp.asarray(img))
+
+    assert_close(jax_out, tf_out, atol=1e-4, label="ViT /32 einsum embed")

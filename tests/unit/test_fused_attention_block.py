@@ -57,15 +57,20 @@ def test_vjp_matches_xla():
         assert rel < 1e-5, f"{name}: rel {rel}"
 
 
-def test_transformer_interpret_mode_matches_unfused():
-    """fused_attention='interpret' must reproduce the exact path and keep
-    the identical param tree (checkpoint/transplant compatible)."""
-    kw = dict(dim=64, depth=2, heads=2, dim_head=32, mlp_dim=128)
-    x = jax.random.normal(jax.random.PRNGKey(1), (2, 17, 64))
+def _check_transformer_tiers(kw, x, fused_attention, fused_mlp,
+                             expect_tier):
+    """Compare a fused-dispatch Transformer against the never/never exact
+    path, forward + grads, and assert the expected tier actually fires."""
+    from vit_tpu.layers.common import _fused_attention_tier
+
+    tier = _fused_attention_tier(x, 0.0, False, x.dtype, kw["heads"],
+                                 kw["dim_head"], kw["dim"], fused_attention)
+    assert tier == expect_tier, f"tier {tier} != {expect_tier}"
 
     t_ref = Transformer(**kw, fused_attention="never", fused_mlp="never")
     params = t_ref.init(jax.random.PRNGKey(0), x)
-    t_fused = Transformer(**kw, fused_attention="interpret", fused_mlp="never")
+    t_fused = Transformer(**kw, fused_attention=fused_attention,
+                          fused_mlp=fused_mlp)
     params_fused = t_fused.init(jax.random.PRNGKey(0), x)
     assert jax.tree.structure(params) == jax.tree.structure(params_fused)
 
@@ -77,6 +82,42 @@ def test_transformer_interpret_mode_matches_unfused():
     g_fused = jax.grad(lambda p: jnp.sum(jnp.sin(t_fused.apply(p, x))))(params)
     for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_fused)):
         assert jnp.max(jnp.abs(a - b)) < 1e-4
+
+
+def test_transformer_interpret_hybrid_tier_matches_unfused():
+    """n < 128 with a lane-packable head geometry routes the hybrid
+    (nmajor) layer — full layer exactness vs the unfused path."""
+    kw = dict(dim=64, depth=2, heads=4, dim_head=32, mlp_dim=128)
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 17, 64))
+    _check_transformer_tiers(kw, x, "interpret", "interpret", "nmajor")
+
+
+def test_transformer_interpret_bmajor_tier_matches_unfused():
+    """128 <= n <= 512 routes the token-major fused attention block."""
+    kw = dict(dim=64, depth=2, heads=4, dim_head=32, mlp_dim=128)
+    x = jax.random.normal(jax.random.PRNGKey(2), (2, 130, 64))
+    _check_transformer_tiers(kw, x, "interpret", "interpret", "bmajor")
+
+
+def test_transformer_hybrid_honors_fused_mlp_never():
+    """fused_mlp='never' must keep the exact XLA MLP even when the hybrid
+    attention tier would otherwise fuse the whole layer; the attention
+    falls back too (the hybrid layer fuses the MLP by construction)."""
+    from vit_tpu.layers.common import apply_fused_hybrid_layer  # noqa: F401
+
+    kw = dict(dim=64, depth=2, heads=4, dim_head=32, mlp_dim=128)
+    x = jax.random.normal(jax.random.PRNGKey(3), (4, 17, 64))
+
+    t_ref = Transformer(**kw, fused_attention="never", fused_mlp="never")
+    params = t_ref.init(jax.random.PRNGKey(0), x)
+    t_mixed = Transformer(**kw, fused_attention="interpret",
+                          fused_mlp="never")
+    y_ref = t_ref.apply(params, x)
+    y_mixed = t_mixed.apply(params, x)
+    # With the MLP opted out the hybrid tier is skipped entirely, so this
+    # must be bit-identical to the unfused path (no kernels dispatch at
+    # n=17 outside the hybrid tier).
+    assert jnp.array_equal(y_ref, y_mixed)
 
 
 def test_batch_padding():

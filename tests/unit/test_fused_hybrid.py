@@ -1,8 +1,9 @@
-"""Hybrid short-sequence layer kernels (ln_gemm / proj_mlp): numerics vs the
-exact XLA path (interpreter mode on CPU; on-chip wins recorded in
-benchmarks/).  The Transformer-level dispatch is covered by
-test_fused_attention_block.test_transformer_interpret_mode_matches_unfused,
-which routes through the hybrid layer at n < 128."""
+"""Hybrid short-sequence layer kernels (ln_gemm / attention_nb / proj_mlp):
+numerics vs the exact XLA path (interpreter mode on CPU; on-chip
+measurements recorded in ROUND2_NOTES.md).  The Transformer-level dispatch
+is covered by test_fused_attention_block's
+test_transformer_interpret_hybrid_tier_matches_unfused, which routes
+through the hybrid layer at n < 128 with a lane-packable head geometry."""
 
 import jax
 import jax.numpy as jnp

@@ -71,3 +71,31 @@ def test_vit_invalid_config():
     with pytest.raises(AssertionError):
         ViT(image_size=64, patch_size=32, num_classes=10,
             dim=32, depth=1, heads=2, mlp_dim=64, pool="max")
+
+
+def test_patch_embed_einsum_matches_dense():
+    """The large-patch einsum embedding must match patchify + Dense exactly
+    (same kernel/bias), forward and gradients."""
+    import jax
+
+    from vit_tpu.ops.patchify import patch_embed, patchify
+
+    k = jax.random.split(jax.random.PRNGKey(0), 3)
+    img = jax.random.normal(k[0], (2, 64, 64, 3))
+    w = jax.random.normal(k[1], (32 * 32 * 3, 96)) * 0.02
+    b = jax.random.normal(k[2], (96,)) * 0.01
+
+    def ref(img, w, b):
+        return (patchify(img, 32, 32) @ w + b).astype(img.dtype)
+
+    out = patch_embed(img, w, b, 32, 32)
+    ref_out = ref(img, w, b)
+    assert out.shape == ref_out.shape
+    assert jnp.max(jnp.abs(out - ref_out)) < 1e-5
+
+    gf = jax.grad(lambda a: jnp.sum(jnp.sin(patch_embed(*a, 32, 32))))(
+        (img, w, b))
+    gr = jax.grad(lambda a: jnp.sum(jnp.sin(ref(*a))))((img, w, b))
+    for name, x, y in zip(["dimg", "dw", "db"], gf, gr):
+        rel = jnp.max(jnp.abs(x - y)) / (jnp.max(jnp.abs(y)) + 1e-9)
+        assert rel < 1e-5, f"{name}: {rel}"

@@ -153,9 +153,9 @@ def apply_fused_mlp_block(norm: nn.Module, mlp: nn.Module, x: jax.Array,
         norm.epsilon,
         DEFAULT_BLOCK_T,
         interpret,
-        # interpret is the test hook: pin the exact-erf math; production
-        # uses the hardware-free tanh form (sub-bf16 deviation).
-        "erf" if interpret else "tanh",
+        # interpret is the test hook: pin the exact (lax.erf) math;
+        # production uses the hardware-free tanh form (sub-bf16 deviation).
+        "exact" if interpret else "tanh",
     )
 
 
@@ -219,7 +219,7 @@ def apply_fused_hybrid_layer(a_norm: nn.Module, attn: nn.Module,
 
     n, b, d = x.shape
     inner = heads * dim_head
-    gelu = "erf" if interpret else "tanh"
+    gelu = "exact" if interpret else "tanh"
 
     x2 = x.reshape(n * b, d)
     q2, k2, v2 = ln_gemm(
@@ -377,6 +377,12 @@ class Transformer(nn.Module):
         use_fused_mlp = self.fused_mlp != "never" and _fused_mlp_eligible(
             x, self.dropout, training, self.dtype, self.fused_mlp,
             nmajor=nmajor)
+        if nmajor and not use_fused_mlp:
+            # The hybrid layer fuses the MLP by construction — honor a
+            # fused_mlp opt-out (or an ineligible MLP shape) by skipping
+            # the tier entirely rather than silently fusing anyway.
+            nmajor = False
+            fa_tier = False
         if nmajor:
             # Short-sequence tier: the whole stack runs batch-in-sublane
             # (n, b, d) — byte-identical to the {2,0,1} layout XLA prefers

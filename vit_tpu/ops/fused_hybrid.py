@@ -41,7 +41,7 @@ smaller fraction of the layer (e.g. 80 <= n < 128 at large batch).
 
 Numerics follow ``vit_tpu.ops.fused_mlp``: f32 accumulation everywhere,
 activations stored in the input dtype, GELU selectable (hardware-tanh in
-production, A&S-erf under the interpreter tests).
+production, exact lax.erf under the interpreter tests).
 """
 
 from __future__ import annotations
@@ -102,14 +102,19 @@ def _fit_block_t(block_t: int, weight_bytes: int, per_row_bytes: int,
 # ln_gemm: out = (LN(x)·γ + β) @ w
 # =====================================================================
 
-def _ln_gemm_fwd_kernel(x_ref, g_ref, b_ref, w_ref, *out_refs, eps):
-    *split_refs, xn_ref = out_refs
+def _ln_gemm_fwd_kernel(x_ref, g_ref, b_ref, w_ref, *out_refs, eps,
+                        save_xn):
+    if save_xn:
+        *split_refs, xn_ref = out_refs
+    else:
+        split_refs, xn_ref = out_refs, None
     x = x_ref[:]
     x32 = x.astype(jnp.float32)
     mu, rstd = _ln_stats(x32, eps)
     xn = ((x32 - mu) * rstd * g_ref[:].astype(jnp.float32)
           + b_ref[:].astype(jnp.float32)).astype(x.dtype)
-    xn_ref[:] = xn
+    if xn_ref is not None:
+        xn_ref[:] = xn
     out = jnp.dot(xn, w_ref[:],
                   preferred_element_type=jnp.float32).astype(x.dtype)
     cols = out.shape[1] // len(split_refs)
@@ -143,7 +148,8 @@ def _ln_gemm_bwd_kernel(*refs, eps, nsplit):
     db_ref[:] += jnp.sum(dxn, axis=0, keepdims=True)
 
 
-def _ln_gemm_forward(x, gamma, beta, w, eps, block_t, interpret, nsplit):
+def _ln_gemm_forward(x, gamma, beta, w, eps, block_t, interpret, nsplit,
+                     save_xn=True):
     t, d = x.shape
     dout = w.shape[1]
     cols = dout // nsplit
@@ -155,8 +161,12 @@ def _ln_gemm_forward(x, gamma, beta, w, eps, block_t, interpret, nsplit):
     tp = xp.shape[0]
     row = lambda a: a.reshape(1, -1)
 
+    xn_specs = [
+        pl.BlockSpec((block_t, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+    ] if save_xn else []
+    xn_shapes = [jax.ShapeDtypeStruct((tp, d), dt)] if save_xn else []
     out = pl.pallas_call(
-        functools.partial(_ln_gemm_fwd_kernel, eps=eps),
+        functools.partial(_ln_gemm_fwd_kernel, eps=eps, save_xn=save_xn),
         grid=(tp // block_t,),
         in_specs=[
             pl.BlockSpec((block_t, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -167,12 +177,10 @@ def _ln_gemm_forward(x, gamma, beta, w, eps, block_t, interpret, nsplit):
         out_specs=[
             pl.BlockSpec((block_t, cols), lambda i: (i, 0), memory_space=pltpu.VMEM)
             for _ in range(nsplit)
-        ] + [
-            pl.BlockSpec((block_t, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        ],
+        ] + xn_specs,
         out_shape=[
             jax.ShapeDtypeStruct((tp, cols), dt) for _ in range(nsplit)
-        ] + [jax.ShapeDtypeStruct((tp, d), dt)],
+        ] + xn_shapes,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         cost_estimate=pl.CostEstimate(
             flops=2 * tp * d * dout,
@@ -181,6 +189,8 @@ def _ln_gemm_forward(x, gamma, beta, w, eps, block_t, interpret, nsplit):
         ),
         interpret=interpret,
     )(xp, row(gamma).astype(dt), row(beta).astype(dt), w)
+    if not save_xn:
+        return tuple(s[:t] for s in out), None
     *splits, xn = out
     return tuple(s[:t] for s in splits), xn[:t]
 
@@ -241,7 +251,7 @@ def ln_gemm(x, gamma, beta, w, eps: float = 1e-3,
     (e.g. 3 for q|k|v): separate outputs let the attention middle consume
     q/k/v without XLA materializing lane-slice copies of a fused qkv."""
     out, _ = _ln_gemm_forward(x, gamma, beta, w, eps, block_t, interpret,
-                              nsplit)
+                              nsplit, save_xn=False)
     return out if nsplit > 1 else out[0]
 
 
@@ -686,7 +696,8 @@ def _proj_mlp_backward(dz, y, h, gamma, wo, w1, w2, eps, block_t, interpret,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         cost_estimate=pl.CostEstimate(
             flops=2 * tp * (inner * d + 2 * d * hdim),
-            bytes_accessed=2 * (4 * tp * d + tp * inner + 2 * tp * hdim),
+            bytes_accessed=2 * (4 * tp * d + tp * inner
+                                + 2 * tp * hdim) * dt.itemsize,
             transcendentals=2 * tp * hdim,
         ),
         interpret=interpret,

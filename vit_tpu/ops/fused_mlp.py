@@ -106,6 +106,12 @@ def _gelu(x, form: str = "tanh"):
     on B/16).  ``erf``: A&S 7.1.26, |err| ≤ 1.5e-7, used by the interpreter
     tests to pin the kernel plumbing at f32 exactness.
     """
+    if form == "exact":
+        # Interpreter-only: jax.lax.erf has no Mosaic lowering, but the
+        # CPU interpreter runs it — this is what lets transformer-level
+        # interpret tests hold 1e-5 against jax.nn.gelu(approximate=False)
+        # (the A&S form's ~1e-7/element error compounds across layers).
+        return 0.5 * x * (1.0 + jax.lax.erf(x * _INV_SQRT2))
     if form == "erf":
         return 0.5 * x * (1.0 + _erf(x * _INV_SQRT2))
     u = _SQRT_2_OVER_PI * (x + _TANH_C * x * x * x)
@@ -114,6 +120,10 @@ def _gelu(x, form: str = "tanh"):
 
 def _dgelu(x, form: str = "tanh"):
     """d/dx gelu(x), matching the forward's form."""
+    if form == "exact":
+        cdf = 0.5 * (1.0 + jax.lax.erf(x * _INV_SQRT2))
+        pdf = _INV_SQRT_2PI * jnp.exp(-0.5 * x * x)
+        return cdf + x * pdf
     if form == "erf":
         cdf = 0.5 * (1.0 + _erf(x * _INV_SQRT2))
         pdf = _INV_SQRT_2PI * jnp.exp(-0.5 * x * x)
@@ -411,7 +421,7 @@ def _backward3(dy, x, h, gamma, w1, w2, eps, block_t, interpret, gelu):
         cost_estimate=pl.CostEstimate(
             flops=4 * bp * n * d * hdim,
             bytes_accessed=2 * (4 * bp * n * d + 2 * bp * n * hdim
-                                + 2 * d * hdim),
+                                + 2 * d * hdim) * dt.itemsize,
             transcendentals=2 * bp * n * hdim,
         ),
         interpret=interpret,
@@ -470,7 +480,8 @@ def _backward(dy, x, h, gamma, w1, w2, eps, block_t, interpret=False,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         cost_estimate=pl.CostEstimate(
             flops=4 * tp * d * hdim,
-            bytes_accessed=2 * (4 * tp * d + 2 * tp * hdim + 2 * d * hdim),
+            bytes_accessed=2 * (4 * tp * d + 2 * tp * hdim
+                                + 2 * d * hdim) * dt.itemsize,
             transcendentals=2 * tp * hdim,
         ),
         interpret=interpret,
