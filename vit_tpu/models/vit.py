@@ -41,6 +41,12 @@ class ViT(nn.Module):
     emb_dropout: float = 0.0
     dtype: Any = jnp.float32
     scan_layers: bool = False
+    # Kernel-dispatch overrides, forwarded to the encoder: "auto"
+    # (measured windows), "hybrid" (adds the short-sequence opt-in tier),
+    # "never" (exact XLA everywhere), "interpret" (tests).  See
+    # layers/common.Transformer.
+    fused_attention: str = "auto"
+    fused_mlp: str = "auto"
 
     def __post_init__(self):
         super().__post_init__()
@@ -76,11 +82,13 @@ class ViT(nn.Module):
             self.transformer = ScannedTransformer(
                 self.dim, self.depth, self.heads, self.dim_head,
                 self.mlp_dim, dropout=self.dropout, dtype=self.dtype,
-                name="transformer")
+                fused=self.fused_attention, name="transformer")
         else:
             self.transformer = Transformer(
                 self.dim, self.depth, self.heads, self.dim_head, self.mlp_dim,
-                dropout=self.dropout, dtype=self.dtype, name="transformer")
+                dropout=self.dropout, dtype=self.dtype,
+                fused_attention=self.fused_attention,
+                fused_mlp=self.fused_mlp, name="transformer")
         self.head_norm = LayerNorm(dtype=self.dtype, name="head_norm")
         self.head = Dense(self.num_classes, dtype=self.dtype, name="head")
 
