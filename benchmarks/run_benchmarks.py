@@ -246,6 +246,13 @@ def bench_model(name, model, image_size, batch, dtype):
     }
 
 
+# Per-model batch caps (HBM): ScalableViT's stage-1 SSA holds 64×64-window
+# attention maps for the full 4096-token stage — batch 64 exhausts HBM on a
+# single v5e chip (measured).  Throughput is reported per image, so rows
+# stay comparable.
+_BATCH_OVERRIDES = {"scalable_vit": 16}
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--only", type=str, default=None)
@@ -270,7 +277,8 @@ def main():
             try:
                 bench = (bench_objective if name.endswith("_obj")
                          else bench_model)
-                row = bench(name, model, image_size, args.batch, dtype)
+                row = bench(name, model, image_size,
+                            _BATCH_OVERRIDES.get(name, args.batch), dtype)
                 row["compile_s"] = round(time.time() - t0, 1)
                 print(json.dumps(row), flush=True)
                 f.write(json.dumps(row) + "\n")
