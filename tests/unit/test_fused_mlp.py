@@ -154,3 +154,31 @@ def test_forward_vjp_3d():
             a = a.reshape(b * n, d)
         rel = jnp.max(jnp.abs(a - r)) / (jnp.max(jnp.abs(r)) + 1e-6)
         assert rel < 1e-5, f"{name}: rel err {rel}"
+
+
+def test_fused_mlp_residual_in_custom_encoders():
+    """The custom encoders route their pre-norm MLP half through
+    fused_mlp_residual; interpret mode must match the exact path with the
+    identical param tree (checkpoint/transplant compatible)."""
+    from vit_tpu.models.vit_for_small_dataset import ViT as SmallViT
+
+    kw = dict(image_size=32, patch_size=8, num_classes=5, dim=64, depth=2,
+              heads=2, dim_head=32, mlp_dim=128)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 32, 32, 3))
+
+    m_ref = SmallViT(**kw, fused_mlp="never")
+    params = m_ref.init(jax.random.PRNGKey(1), x)
+    m_fused = SmallViT(**kw, fused_mlp="interpret")
+    params_fused = m_fused.init(jax.random.PRNGKey(1), x)
+    assert jax.tree_util.tree_structure(params) == \
+        jax.tree_util.tree_structure(params_fused)
+
+    y_ref = m_ref.apply(params, x)
+    y_fused = m_fused.apply(params, x)
+    assert jnp.max(jnp.abs(y_ref - y_fused)) < 1e-5
+
+    g_ref = jax.grad(lambda p: jnp.sum(jnp.sin(m_ref.apply(p, x))))(params)
+    g_fused = jax.grad(lambda p: jnp.sum(jnp.sin(m_fused.apply(p, x))))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g_ref),
+                    jax.tree_util.tree_leaves(g_fused)):
+        assert jnp.max(jnp.abs(a - b)) < 1e-4

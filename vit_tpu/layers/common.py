@@ -337,6 +337,25 @@ def _fused_mlp_eligible(x, dropout: float, training: bool, dtype,
     return x.shape[1] >= 128
 
 
+def fused_mlp_residual(x: jax.Array, norm: nn.Module, mlp: nn.Module,
+                       dropout: float, training: bool, dtype,
+                       mode: str = "auto") -> jax.Array:
+    """``x + mlp(norm(x))`` with the Transformer's fused-MLP dispatch gate.
+
+    For the custom encoders (CaiT/DeepViT/CrossViT/ParallelViT/
+    patch-merger/small-dataset) whose attention differs from the shared
+    ``Attention`` but whose MLP half is the standard pre-norm block:
+    construct (don't call) the LayerNorm/MLP pair and route through here.
+    The param tree is identical to the unfused path either way
+    (checkpoint/transplant compatible).
+    """
+    if mode != "never" and _fused_mlp_eligible(x, dropout, training, dtype,
+                                               mode):
+        return apply_fused_mlp_block(norm, mlp, x,
+                                     interpret=mode == "interpret")
+    return x + mlp(norm(x), training=training)
+
+
 class Transformer(nn.Module):
     """Pre-norm residual encoder stack (reference vit.py:87-104).
 

@@ -17,7 +17,8 @@ import jax.numpy as jnp
 from einops import rearrange, repeat
 from flax import linen as nn
 
-from vit_tpu.layers.common import Dense, LayerNorm, MLP
+from vit_tpu.layers.common import (Dense, LayerNorm, MLP,
+                                   fused_mlp_residual)
 from vit_tpu.ops.attention import scaled_dot_product_attention
 from vit_tpu.ops.patchify import patchify
 
@@ -66,6 +67,7 @@ class NormedTransformer(nn.Module):
     mlp_dim: int
     dropout: float = 0.0
     dtype: Any = jnp.float32
+    fused_mlp: str = "auto"
 
     @nn.compact
     def __call__(self, x, training: bool = False):
@@ -76,10 +78,11 @@ class NormedTransformer(nn.Module):
                                dtype=self.dtype, name=f"attn_{i}")(
                 h, training=training)
             x = x + h
-            h = LayerNorm(dtype=self.dtype, name=f"mlp_norm_{i}")(x)
-            h = MLP(self.dim, self.mlp_dim, dropout=self.dropout,
-                    dtype=self.dtype, name=f"mlp_{i}")(h, training=training)
-            x = x + h
+            norm = LayerNorm(dtype=self.dtype, name=f"mlp_norm_{i}")
+            mlp = MLP(self.dim, self.mlp_dim, dropout=self.dropout,
+                      dtype=self.dtype, name=f"mlp_{i}")
+            x = fused_mlp_residual(x, norm, mlp, self.dropout, training,
+                                   self.dtype, self.fused_mlp)
         return LayerNorm(dtype=self.dtype, name="norm")(x)
 
 

@@ -17,7 +17,8 @@ import jax.numpy as jnp
 from einops import rearrange, repeat
 from flax import linen as nn
 
-from vit_tpu.layers.common import Dense, LayerNorm, MLP
+from vit_tpu.layers.common import (Dense, LayerNorm, MLP,
+                                   fused_mlp_residual)
 from vit_tpu.ops.attention import attention_weights, apply_attention
 from vit_tpu.ops.patchify import patchify
 
@@ -78,6 +79,9 @@ class DeepViT(nn.Module):
     dropout: float = 0.0
     emb_dropout: float = 0.0
     dtype: Any = jnp.float32
+    # Fused-MLP dispatch for the pre-norm MLP half ("auto"/"never"/
+    # "interpret"); re-attention itself always rides XLA.
+    fused_mlp: str = "auto"
 
     def __post_init__(self):
         super().__post_init__()
@@ -111,10 +115,11 @@ class DeepViT(nn.Module):
                 dropout=self.dropout, dtype=self.dtype, name=f"attn_{i}",
             )(h, training=training)
             x = x + h
-            h = LayerNorm(dtype=self.dtype, name=f"mlp_norm_{i}")(x)
-            h = MLP(self.dim, self.mlp_dim, dropout=self.dropout,
-                    dtype=self.dtype, name=f"mlp_{i}")(h, training=training)
-            x = x + h
+            norm = LayerNorm(dtype=self.dtype, name=f"mlp_norm_{i}")
+            mlp = MLP(self.dim, self.mlp_dim, dropout=self.dropout,
+                      dtype=self.dtype, name=f"mlp_{i}")
+            x = fused_mlp_residual(x, norm, mlp, self.dropout, training,
+                                   self.dtype, self.fused_mlp)
 
         if self.pool == "mean":
             x = jnp.mean(x, axis=1)
