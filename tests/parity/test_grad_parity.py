@@ -179,3 +179,52 @@ def test_crossformer_grad_parity(tf):
     assert tf_gs[3] is None, "reference DPB grad unexpectedly connected"
     dpb_grad = p["short_attn_0_0"]["dpb"]["fc0"]["kernel"]
     assert float(jnp.max(jnp.abs(dpb_grad))) > 0.0
+
+
+def test_cait_grad_parity(tf):
+    """LayerScale residual scaling + talking-heads (pre/post-softmax head
+    mixes) + the two-stage patch/CLS encoder, leaf-for-leaf vs
+    tf.GradientTape (reference cait.py:40-48, 83-131).  Layer-drop is
+    inactive in eval mode on both sides."""
+    import cait as ref
+
+    from vit_tpu.models.cait import CaiT
+
+    cfg = dict(image_size=48, patch_size=16, num_classes=9, dim=64,
+               depth=2, cls_depth=1, heads=2, mlp_dim=128, dim_head=32)
+    img = np.random.RandomState(7).randn(2, 48, 48, 3).astype(np.float32)
+
+    tfm = ref.CaiT(**cfg)
+    tfm(tf.constant(img), training=False)  # build
+    ours = CaiT(**cfg)
+    variables = ours.init(jax.random.PRNGKey(0), jnp.asarray(img))
+    variables = tf_weights.transplant_cait(tfm, variables)
+
+    ls_attn0, _ = tfm.patch_transformer.layers[0]
+    attn0 = ls_attn0.fn.fn
+    cls_ls_attn0, cls_ls_mlp0 = tfm.cls_transformer.layers[0]
+    tf_vars = [
+        ls_attn0.scale,                     # LayerScale (patch stage)
+        attn0.mix_heads_pre_attn,           # talking heads, pre-softmax
+        attn0.mix_heads_post_attn,          # talking heads, post-softmax
+        attn0.to_q.kernel,
+        cls_ls_mlp0.scale,                  # LayerScale (CLS stage)
+        cls_ls_attn0.fn.fn.to_kv.kernel,    # CLS cross-attends patches
+    ]
+    tf_gs = _tf_grads(tf, tfm, img, tf_vars)
+
+    jg_v, jg_img = _jax_grads(ours, variables, img)
+    p = jg_v["params"]
+    jax_gs = [
+        p["patch_transformer"]["layerscale_attn_0"],
+        p["patch_transformer"]["attn_0"]["mix_heads_pre_attn"],
+        p["patch_transformer"]["attn_0"]["mix_heads_post_attn"],
+        p["patch_transformer"]["attn_0"]["to_q"]["kernel"],
+        p["cls_transformer"]["layerscale_mlp_0"],
+        p["cls_transformer"]["attn_0"]["to_kv"]["kernel"],
+    ]
+    np.testing.assert_allclose(np.asarray(jg_img), np.asarray(tf_gs[0]),
+                               atol=2e-5, rtol=1e-3)
+    for jg, tg in zip(jax_gs, tf_gs[1:]):
+        np.testing.assert_allclose(np.asarray(jg), np.asarray(tg),
+                                   atol=2e-5, rtol=1e-3)
