@@ -4,9 +4,10 @@ Beyond logit parity, the backward pass must agree — this catches wrong
 custom VJPs, dtype casts in the backward, and transplant-layout mistakes
 that forward-only tests can mask.  Coverage targets the hard numerics
 families: plain ViT, LeViT (BatchNorm + 'SAME'-padding conv gradients +
-the |Δ|-indexed positional-bias Embedding) and CrossFormer (windowed
+the |Δ|-indexed positional-bias Embedding), CrossFormer (windowed
 attention + the dynamic-position-bias MLP whose gradient flow is the
-§8.5 regression fence).
+§8.5 regression fence) and CaiT (LayerScale residual scaling +
+talking-heads head mixes + the CLS-stage cross-attention).
 
 Each test checks the *input* gradient — one tensor whose value threads
 through every layer's backward — plus representative parameter leaves."""
