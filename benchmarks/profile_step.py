@@ -81,9 +81,79 @@ def b16_infer():
     return run
 
 
+def model_run(name, mode="infer", batch=64):
+    """Profile any registry model (run_benchmarks.py names), infer or train."""
+    from run_benchmarks import (_BATCH_OVERRIDES, _extras, _more_models,
+                                _regionvit, model_registry)
+    from vit_tpu import cast_params
+    from vit_tpu.parallel.train import cross_entropy_loss
+
+    dtype = jnp.bfloat16
+    registry = model_registry(dtype)
+    registry["regionvit"] = _regionvit(dtype)
+    registry.update(_extras(dtype))
+    registry.update(_more_models(dtype))
+    model, image_size = registry[name]
+    batch = _BATCH_OVERRIDES.get(name, batch)
+
+    img = jax.random.normal(jax.random.PRNGKey(1),
+                            (batch, image_size, image_size, 3), dtype)
+    variables = model.init(jax.random.PRNGKey(0), img)
+    has_bn = "batch_stats" in variables
+
+    if mode == "infer":
+        serve_vars = cast_params(variables, dtype)
+        fwd = jax.jit(lambda v, x: model.apply(v, x))
+        # ring of distinct inputs: the tunnel memoizes identical executions
+        ring = [jax.random.normal(jax.random.PRNGKey(10 + i),
+                                  (batch, image_size, image_size, 3), dtype)
+                for i in range(4)]
+
+        def run(n):
+            outs = [fwd(serve_vars, ring[i % len(ring)]) for i in range(n)]
+            jax.block_until_ready(outs)
+
+        return run, batch
+
+    labels = jnp.arange(batch) % 1000
+    tx = optax.sgd(1e-3)
+    opt_state = tx.init(variables)
+
+    @jax.jit
+    def step(variables, opt_state, img, labels):
+        def loss_fn(v):
+            if has_bn:
+                out, _ = model.apply(v, img, training=True,
+                                     mutable=["batch_stats"])
+            else:
+                out = model.apply(v, img)
+            if isinstance(out, tuple):
+                out = out[0]
+            return cross_entropy_loss(out, labels)
+        loss, grads = jax.value_and_grad(loss_fn)(variables)
+        updates, opt_state = tx.update(grads, opt_state)
+        return optax.apply_updates(variables, updates), opt_state, loss
+
+    state = [variables, opt_state]
+
+    def run(n):
+        loss = None
+        for _ in range(n):
+            state[0], state[1], loss = step(state[0], state[1], img, labels)
+        float(loss)
+
+    return run, batch
+
+
 def main():
     which = sys.argv[1] if len(sys.argv) > 1 else "b16_infer"
-    run = {"b32_train": b32_train, "b16_infer": b16_infer}[which]()
+    if which.startswith("model:"):
+        name = which.split(":", 1)[1]
+        mode = sys.argv[2] if len(sys.argv) > 2 else "infer"
+        run, batch = model_run(name, mode)
+        which = f"{name}_{mode}_b{batch}"
+    else:
+        run = {"b32_train": b32_train, "b16_infer": b16_infer}[which]()
     run(5)  # compile + settle
 
     import time

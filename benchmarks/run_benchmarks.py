@@ -191,7 +191,26 @@ def bench_objective(name, model, image_size, batch, dtype):
     }
 
 
-def bench_model(name, model, image_size, batch, dtype):
+def _xplane_infer_ms(fwd, serve_vars, ring, iters=8):
+    """Device ms/step for the infer row straight from XPlane timestamps —
+    the only timing source the axon tunnel can't distort (ROUND2_NOTES)."""
+    import shutil
+    import tempfile
+
+    from vit_tpu.utils import profiling
+
+    logdir = tempfile.mkdtemp(prefix="vit_xp_")
+    try:
+        with profiling.trace(logdir):
+            outs = [fwd(serve_vars, ring[i % len(ring)]) for i in range(iters)]
+            jax.block_until_ready(outs)
+        rows = profiling.op_breakdown(logdir, top=1_000_000)
+        return sum(r["total_ms"] for r in rows) / iters
+    finally:
+        shutil.rmtree(logdir, ignore_errors=True)
+
+
+def bench_model(name, model, image_size, batch, dtype, xplane=False):
     from vit_tpu.parallel.train import cross_entropy_loss
     from vit_tpu.utils.profiling import benchmark_throughput
 
@@ -206,8 +225,22 @@ def bench_model(name, model, image_size, batch, dtype):
     from vit_tpu import cast_params
     serve_vars = cast_params(variables, dtype)
     fwd = jax.jit(lambda v, x: model.apply(v, x))
-    infer = benchmark_throughput(functools.partial(fwd, serve_vars, img),
-                                 batch=batch)
+    # Measurement law (ROUND2_NOTES): the axon tunnel memoizes repeated
+    # IDENTICAL executions — wall-clocking one fixed (vars, img) pair
+    # under-reports.  Rotate a ring of distinct pre-generated batches so
+    # every enqueued step is a genuinely new execution.
+    ring = [jax.random.normal(jax.random.PRNGKey(10 + i),
+                              (batch, image_size, image_size, 3), dtype)
+            for i in range(4)]
+    ctr = [0]
+
+    def infer_fn():
+        out = fwd(serve_vars, ring[ctr[0] % len(ring)])
+        ctr[0] += 1
+        return out
+
+    infer = benchmark_throughput(infer_fn, batch=batch)
+    xp_ms = _xplane_infer_ms(fwd, serve_vars, ring) if xplane else None
 
     tx = optax.sgd(1e-3)
     opt_state = tx.init(variables)
@@ -216,7 +249,9 @@ def bench_model(name, model, image_size, batch, dtype):
     def train_step(variables, opt_state, img, labels):
         def loss_fn(v):
             if has_bn:
-                out, _ = model.apply(v, img, training=False,
+                # training=True: time the batch-stats BN path a real train
+                # step uses (round-2 rows mislabelled this as training).
+                out, _ = model.apply(v, img, training=True,
                                      mutable=["batch_stats"])
             else:
                 out = model.apply(v, img)
@@ -235,7 +270,7 @@ def bench_model(name, model, image_size, batch, dtype):
         return loss
 
     train = benchmark_throughput(step_fn, batch=batch)
-    return {
+    row = {
         "model": name,
         "batch": batch,
         "image_size": image_size,
@@ -244,6 +279,10 @@ def bench_model(name, model, image_size, batch, dtype):
         "train_images_per_sec_per_chip": round(train["items_per_sec"], 1),
         "device": jax.devices()[0].device_kind,
     }
+    if xp_ms is not None:
+        row["infer_device_ms_per_step"] = round(xp_ms, 2)
+        row["infer_images_per_sec_device"] = round(batch / (xp_ms / 1e3), 1)
+    return row
 
 
 # Per-model batch caps (HBM): ScalableViT's stage-1 SSA holds 64×64-window
@@ -258,6 +297,8 @@ def main():
     ap.add_argument("--only", type=str, default=None)
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--f32", action="store_true")
+    ap.add_argument("--xplane", action="store_true",
+                    help="cross-check infer rows against XPlane device time")
     args = ap.parse_args()
 
     dtype = jnp.float32 if args.f32 else jnp.bfloat16
@@ -275,10 +316,14 @@ def main():
             model, image_size = registry[name]
             t0 = time.time()
             try:
-                bench = (bench_objective if name.endswith("_obj")
-                         else bench_model)
-                row = bench(name, model, image_size,
-                            _BATCH_OVERRIDES.get(name, args.batch), dtype)
+                if name.endswith("_obj"):
+                    row = bench_objective(name, model, image_size,
+                                          _BATCH_OVERRIDES.get(name, args.batch),
+                                          dtype)
+                else:
+                    row = bench_model(name, model, image_size,
+                                      _BATCH_OVERRIDES.get(name, args.batch),
+                                      dtype, xplane=args.xplane)
                 row["compile_s"] = round(time.time() - t0, 1)
                 print(json.dumps(row), flush=True)
                 f.write(json.dumps(row) + "\n")

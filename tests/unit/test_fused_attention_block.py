@@ -126,3 +126,65 @@ def test_batch_padding():
     y = fused_attention_block(*args, heads, dh, None, 1e-3, True)
     yr = _ref(*args, heads, dh)
     assert jnp.max(jnp.abs(y - yr)) < 1e-5
+
+
+# --- biased variant (windowed models: CrossFormer DPB, RegionViT rel-pos) ---
+
+def _ref_bias(x, gamma, beta, wqkv, wo, bo, bias, heads, dh, eps=1e-3):
+    x32 = x.astype(jnp.float32)
+    mu = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mu), axis=-1, keepdims=True)
+    xn = ((x32 - mu) * jax.lax.rsqrt(var + eps) * gamma + beta).astype(x.dtype)
+    qkv = jnp.dot(xn, wqkv, preferred_element_type=jnp.float32).astype(x.dtype)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    q, k, v = (rearrange(t, "b n (h d) -> b h n d", h=heads) for t in (q, k, v))
+    s = jnp.einsum("bhid,bhjd->bhij", q, k,
+                   preferred_element_type=jnp.float32) * dh ** -0.5
+    s = s + bias[None].astype(jnp.float32)  # (1|h, n, n) broadcast over batch
+    p = jax.nn.softmax(s, axis=-1).astype(x.dtype)
+    o = jnp.einsum("bhij,bhjd->bhid", p, v,
+                   preferred_element_type=jnp.float32).astype(x.dtype)
+    o = rearrange(o, "b h n d -> b n (h d)")
+    y = jnp.dot(o, wo, preferred_element_type=jnp.float32) + bo
+    return x + y.astype(x.dtype)
+
+
+def _bias_args(hb, b=3, n=49, d=96, heads=3, dh=32):
+    from vit_tpu.ops.fused_attention_block import fused_attention_block_bias
+
+    args, heads, dh = _args(b=b, n=n, d=d, heads=heads, dh=dh)
+    bias = jax.random.normal(jax.random.PRNGKey(7), (hb, n, n),
+                             jnp.float32) * 0.3
+    return args + (bias,), heads, dh
+
+
+def test_bias_forward_shared_and_per_head():
+    from vit_tpu.ops.fused_attention_block import fused_attention_block_bias
+
+    for hb in (1, 3):
+        args, heads, dh = _bias_args(hb)
+        y = fused_attention_block_bias(*args, heads, dh, None, 1e-3, True)
+        yr = _ref_bias(*args, heads, dh)
+        assert jnp.max(jnp.abs(y - yr)) < 1e-5, f"hb={hb}"
+
+
+def test_bias_vjp_includes_dbias():
+    from vit_tpu.ops.fused_attention_block import fused_attention_block_bias
+
+    for hb in (1, 3):
+        args, heads, dh = _bias_args(hb)
+        gf = jax.grad(lambda a: jnp.sum(jnp.sin(
+            fused_attention_block_bias(*a, heads, dh, None, 1e-3, True))))(args)
+        gr = jax.grad(lambda a: jnp.sum(jnp.sin(_ref_bias(*a, heads, dh))))(args)
+        names = ["dx", "dgamma", "dbeta", "dwqkv", "dwo", "dbo", "dbias"]
+        for name, a, b in zip(names, gf, gr):
+            rel = jnp.max(jnp.abs(a - b)) / (jnp.max(jnp.abs(b)) + 1e-9)
+            assert rel < 1e-5, f"hb={hb} {name}: rel {rel}"
+
+
+def test_small_n_large_group_batch():
+    """Windowed fold: thousands of 49-token groups — the n<128 bb cap."""
+    args, heads, dh = _args(b=96, n=49, d=64, heads=2, dh=32)
+    y = fused_attention_block(*args, heads, dh, None, 1e-5, True)
+    yr = _ref(*args, heads, dh, eps=1e-5)
+    assert jnp.max(jnp.abs(y - yr)) < 1e-5

@@ -337,6 +337,92 @@ def _fused_mlp_eligible(x, dropout: float, training: bool, dtype,
     return x.shape[1] >= 128
 
 
+def windowed_attention_eligible(folded_shape, folded_dtype, dropout: float,
+                                training: bool, dtype,
+                                mode: str = "auto") -> bool:
+    """Gate for the windowed fused-attention path: ``folded_shape`` is the
+    (groups, n_window, d) layout the caller will fold windows into.
+
+    Unlike the token-major gate (128 ≤ n ≤ 512), windows are tiny (49-196
+    tokens) but the group axis counts thousands of window×image pairs, so
+    the kernel's batch-block grid stays fed.  The XLA alternative
+    materializes f32 (groups·heads, n, n) score maps in HBM — measured 21
+    ms/step of softmax-chain traffic on Twins-SVT stage 1/2 alone
+    (benchmarks/profiles/twins_svt.md)."""
+    from vit_tpu.ops.fused_attention_block import (
+        fused_attention_block_available,
+    )
+
+    groups, n, d = folded_shape
+    if mode == "never" or (dropout > 0.0 and training):
+        return False
+    if mode == "interpret":
+        return True
+    return (
+        dtype in (jnp.bfloat16, jnp.float16)
+        and folded_dtype in (jnp.bfloat16, jnp.float16)
+        and d >= 64
+        and n <= 512
+        and groups * n >= 2048
+        and fused_attention_block_available()
+    )
+
+
+def fused_conv_mlp_residual(x: jax.Array, norm, mlp,
+                            dropout: float, training: bool, dtype,
+                            mode: str = "auto", eps: float = 1e-5,
+                            fc1=None, fc2=None):
+    """``x + mlp(norm(x))`` over an NHWC map through the fused MLP kernel,
+    or ``None`` when ineligible (caller runs its exact path).
+
+    The conv-hybrid models' MLPs are 1×1 convs — per-token GEMMs — so the
+    token-major fused MLP block applies directly on the (b, H·W, c)
+    bitcast view.  ``norm`` is a ``ChannelLayerNorm``; ``mlp`` holds 1×1
+    ``Conv`` submodules under params ``fc1``/``fc2`` (the shared conv-MLP
+    shape: reference twins_svt.py:78-92, nest.py:58-66).
+
+    Pass ``norm=None`` when the LN lives *inside* ``mlp`` under the param
+    name ``norm`` (CrossFormer's LN-inside MLP, crossformer.py:89-102);
+    ``eps`` then supplies the epsilon.  Pass ``fc1``/``fc2`` Conv modules
+    instead of ``mlp`` when the convs are loose (NesT, nest.py:58-66)."""
+    b, H, W, c = x.shape
+    x3 = x.reshape(b, H * W, c)
+    if mode == "never" or not _fused_mlp_eligible(x3, dropout, training,
+                                                  dtype, mode):
+        return None
+    from vit_tpu.ops.fused_mlp import DEFAULT_BLOCK_T, fused_mlp_3d
+
+    dummy = jnp.zeros((1, 1, 1, c), x.dtype)
+    if mlp is not None:
+        mlp(dummy)
+        mp = mlp.variables["params"]
+    else:
+        fc1(dummy)
+        fc2(jnp.zeros((1, 1, 1, fc1.features), x.dtype))
+        mp = {"fc1": fc1.variables["params"],
+              "fc2": fc2.variables["params"]}
+    if norm is not None:
+        norm(dummy)
+        np_ = norm.variables["params"]
+        eps = norm.eps
+    else:
+        np_ = mp["norm"]
+    w1 = mp["fc1"]["kernel"]
+    hidden = w1.shape[-1]
+    y = fused_mlp_3d(
+        x3,
+        np_["g"].reshape(-1).astype(jnp.float32),
+        np_["b"].reshape(-1).astype(jnp.float32),
+        w1.reshape(c, hidden).astype(x.dtype),
+        mp["fc1"]["bias"].astype(x.dtype),
+        mp["fc2"]["kernel"].reshape(hidden, c).astype(x.dtype),
+        mp["fc2"]["bias"].astype(x.dtype),
+        eps, DEFAULT_BLOCK_T, mode == "interpret",
+        "exact" if mode == "interpret" else "tanh",
+    )
+    return y.reshape(b, H, W, c)
+
+
 def fused_mlp_residual(x: jax.Array, norm: nn.Module, mlp: nn.Module,
                        dropout: float, training: bool, dtype,
                        mode: str = "auto") -> jax.Array:

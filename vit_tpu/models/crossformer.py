@@ -24,7 +24,66 @@ from flax import linen as nn
 
 from vit_tpu.core.helpers import cast_tuple
 from vit_tpu.layers.common import (ChannelLayerNorm, Conv, Dense, LayerNorm,
-                                   gelu_exact)
+                                   fused_conv_mlp_residual, gelu_exact,
+                                   windowed_attention_eligible)
+
+
+def _fused_crossformer_attention_residual(x, attn, mode, training):
+    """``x + CrossFormerAttention(x)`` through the bias-capable fused
+    attention block with windows folded into the batch axis, or ``None``
+    when the gate declines.
+
+    The dynamic position bias stays an XLA-computed (1, n, n) table (the
+    DPB MLP over (2w+1)² coords is tiny) fed to the kernel's bias operand;
+    its gradient flows back through the gather into the DPB params."""
+    from vit_tpu.ops.fused_attention_block import fused_attention_block_bias
+
+    wsz = attn.window_size
+    b, H, W, c = x.shape
+    heads = c // attn.dim_head
+    n = wsz * wsz
+    groups = b * (H // wsz) * (W // wsz)
+    # n >= 8: stage-4 long attention degenerates to 1-token windows where
+    # the kernel has nothing to fuse.
+    if n < 8 or not windowed_attention_eligible(
+            (groups, n, c), x.dtype, attn.dropout, training, attn.dtype,
+            mode):
+        return None
+    inner = heads * attn.dim_head
+    dummy = jnp.zeros((1, wsz, wsz, c), x.dtype)
+    attn(dummy)
+    ap = attn.variables["params"]
+    wqkv = ap["to_qkv"]["kernel"].reshape(c, 3 * inner).astype(x.dtype)
+    wo = ap["to_out"]["kernel"].reshape(inner, c).astype(x.dtype)
+    bo = ap["to_out"]["bias"].astype(x.dtype)
+    g = ap["norm"]["g"].reshape(-1).astype(jnp.float32)
+    bn = ap["norm"]["b"].reshape(-1).astype(jnp.float32)
+
+    pos = np.arange(-wsz, wsz + 1)
+    rel_coords = np.stack(np.meshgrid(pos, pos, indexing="ij"),
+                          axis=0).reshape(2, -1).T
+    grid = np.stack(np.meshgrid(np.arange(wsz), np.arange(wsz),
+                                indexing="ij"), axis=0).reshape(2, -1).T
+    rel_pos = grid[:, None] - grid[None, :] + wsz - 1
+    rel_idx = (rel_pos * np.array([2 * wsz - 1, 1])).sum(-1)
+    biases = DynamicPositionBias(c // 4, dtype=attn.dtype).apply(
+        {"params": ap["dpb"]}, jnp.asarray(rel_coords, jnp.float32))
+    bias = biases[jnp.asarray(rel_idx)][None].astype(jnp.float32)
+
+    if attn.attn_type == "short":
+        xw = rearrange(x, "b (h s1) (w s2) d -> (b h w) (s1 s2) d",
+                       s1=wsz, s2=wsz)
+    else:
+        xw = rearrange(x, "b (l1 h) (l2 w) d -> (b h w) (l1 l2) d",
+                       l1=wsz, l2=wsz)
+    yw = fused_attention_block_bias(xw, g, bn, wqkv, wo, bo, bias, heads,
+                                    attn.dim_head, None, 1e-5,
+                                    mode == "interpret")
+    if attn.attn_type == "short":
+        return rearrange(yw, "(b h w) (s1 s2) d -> b (h s1) (w s2) d",
+                         h=H // wsz, w=W // wsz, s1=wsz, s2=wsz)
+    return rearrange(yw, "(b h w) (l1 l2) d -> b (l1 h) (l2 w) d",
+                     h=H // wsz, w=W // wsz, l1=wsz, l2=wsz)
 
 
 class CrossEmbedLayer(nn.Module):
@@ -167,6 +226,8 @@ class CrossFormer(nn.Module):
     attn_dropout: float = 0.0
     ff_dropout: float = 0.0
     dtype: Any = jnp.float32
+    fused_attention: str = "auto"
+    fused_mlp: str = "auto"
 
     def __post_init__(self):
         super().__post_init__()
@@ -188,24 +249,23 @@ class CrossFormer(nn.Module):
             x = CrossEmbedLayer(dim_out, ks, stride=st, dtype=self.dtype,
                                 name=f"cel_{s}")(x, training=training)
             for i in range(layers):
-                h = CrossFormerAttention(
-                    dim_out, attn_type="short", window_size=lw,
-                    dropout=self.attn_dropout, dtype=self.dtype,
-                    name=f"short_attn_{s}_{i}")(x, training=training)
-                x = x + h
-                h = CrossFormerMLP(dim_out, dropout=self.ff_dropout,
-                                   dtype=self.dtype, name=f"short_ff_{s}_{i}")(
-                    x, training=training)
-                x = x + h
-                h = CrossFormerAttention(
-                    dim_out, attn_type="long", window_size=gw,
-                    dropout=self.attn_dropout, dtype=self.dtype,
-                    name=f"long_attn_{s}_{i}")(x, training=training)
-                x = x + h
-                h = CrossFormerMLP(dim_out, dropout=self.ff_dropout,
-                                   dtype=self.dtype, name=f"long_ff_{s}_{i}")(
-                    x, training=training)
-                x = x + h
+                for kind, w in (("short", lw), ("long", gw)):
+                    attn = CrossFormerAttention(
+                        dim_out, attn_type=kind, window_size=w,
+                        dropout=self.attn_dropout, dtype=self.dtype,
+                        name=f"{kind}_attn_{s}_{i}")
+                    y = (_fused_crossformer_attention_residual(
+                            x, attn, self.fused_attention, training)
+                         if self.fused_attention != "never" else None)
+                    x = y if y is not None else x + attn(x,
+                                                         training=training)
+                    mlp = CrossFormerMLP(dim_out, dropout=self.ff_dropout,
+                                         dtype=self.dtype,
+                                         name=f"{kind}_ff_{s}_{i}")
+                    y = fused_conv_mlp_residual(
+                        x, None, mlp, self.ff_dropout, training, self.dtype,
+                        self.fused_mlp)
+                    x = y if y is not None else x + mlp(x, training=training)
 
         x = jnp.mean(x, axis=(1, 2))
         return Dense(self.num_classes, dtype=self.dtype, name="head")(x)

@@ -18,7 +18,40 @@ from einops import rearrange
 from flax import linen as nn
 
 from vit_tpu.core.helpers import cast_tuple
-from vit_tpu.layers.common import ChannelLayerNorm, Conv, Dense, gelu_exact
+from vit_tpu.layers.common import (ChannelLayerNorm, Conv, Dense,
+                                   fused_conv_mlp_residual, gelu_exact,
+                                   windowed_attention_eligible)
+
+
+def _fused_nest_attention_residual(x, norm, attn, mode, training):
+    """``x + NesTAttention(ChannelLN(x))`` through the fused attention
+    block, or ``None`` when the gate declines.  Blocks are already folded
+    into the batch axis at model level (nest.py:209), so the (G, h·w, c)
+    view is a pure bitcast — no relayout enters the kernel boundary."""
+    from vit_tpu.ops.fused_attention_block import fused_attention_block
+
+    b, h, w, c = x.shape
+    heads = attn.heads
+    dim_head = c // heads
+    n = h * w
+    if not windowed_attention_eligible((b, n, c), x.dtype, attn.dropout,
+                                       training, attn.dtype, mode):
+        return None
+    inner = heads * dim_head
+    dummy = jnp.zeros((1, 1, 1, c), x.dtype)
+    norm(dummy)
+    attn(dummy)
+    np_ = norm.variables["params"]
+    ap = attn.variables["params"]
+    yw = fused_attention_block(
+        x.reshape(b, n, c),
+        np_["g"].reshape(-1).astype(jnp.float32),
+        np_["b"].reshape(-1).astype(jnp.float32),
+        ap["to_qkv"]["kernel"].reshape(c, 3 * inner).astype(x.dtype),
+        ap["to_out"]["kernel"].reshape(inner, c).astype(x.dtype),
+        ap["to_out"]["bias"].astype(x.dtype),
+        heads, dim_head, None, norm.eps, mode == "interpret")
+    return yw.reshape(b, h, w, c)
 
 
 class NesTAttention(nn.Module):
@@ -65,6 +98,8 @@ class NesTTransformer(nn.Module):
     mlp_mult: int
     dropout: float = 0.0
     dtype: Any = jnp.float32
+    fused_attention: str = "auto"
+    fused_mlp: str = "auto"
 
     @nn.compact
     def __call__(self, x, training: bool = False):
@@ -75,20 +110,35 @@ class NesTTransformer(nn.Module):
         x = x + pe.astype(x.dtype)
 
         for i in range(self.depth):
-            hdn = ChannelLayerNorm(self.dim, name=f"attn_norm_{i}")(x)
-            hdn = NesTAttention(self.dim, heads=self.heads,
-                                dropout=self.dropout, dtype=self.dtype,
-                                name=f"attn_{i}")(hdn, training=training)
-            x = x + hdn
-            hdn = ChannelLayerNorm(self.dim, name=f"mlp_norm_{i}")(x)
-            hdn = Conv(self.dim * self.mlp_mult, (1, 1), dtype=self.dtype,
-                       name=f"mlp_fc1_{i}")(hdn)
-            hdn = gelu_exact(hdn)
-            hdn = nn.Dropout(self.dropout)(hdn, deterministic=not training)
-            hdn = Conv(self.dim, (1, 1), dtype=self.dtype,
-                       name=f"mlp_fc2_{i}")(hdn)
-            hdn = nn.Dropout(self.dropout)(hdn, deterministic=not training)
-            x = x + hdn
+            norm = ChannelLayerNorm(self.dim, name=f"attn_norm_{i}")
+            attn = NesTAttention(self.dim, heads=self.heads,
+                                 dropout=self.dropout, dtype=self.dtype,
+                                 name=f"attn_{i}")
+            y = (_fused_nest_attention_residual(
+                    x, norm, attn, self.fused_attention, training)
+                 if self.fused_attention != "never" else None)
+            x = y if y is not None else x + attn(norm(x), training=training)
+
+            mlp_norm = ChannelLayerNorm(self.dim, name=f"mlp_norm_{i}")
+            fc1 = Conv(self.dim * self.mlp_mult, (1, 1), dtype=self.dtype,
+                       name=f"mlp_fc1_{i}")
+            fc2 = Conv(self.dim, (1, 1), dtype=self.dtype,
+                       name=f"mlp_fc2_{i}")
+            y = fused_conv_mlp_residual(x, mlp_norm, None, self.dropout,
+                                        training, self.dtype,
+                                        self.fused_mlp, fc1=fc1, fc2=fc2)
+            if y is not None:
+                x = y
+            else:
+                hdn = mlp_norm(x)
+                hdn = fc1(hdn)
+                hdn = gelu_exact(hdn)
+                hdn = nn.Dropout(self.dropout)(hdn,
+                                               deterministic=not training)
+                hdn = fc2(hdn)
+                hdn = nn.Dropout(self.dropout)(hdn,
+                                               deterministic=not training)
+                x = x + hdn
         return x
 
 
@@ -105,6 +155,8 @@ class NesT(nn.Module):
     mlp_mult: int = 4
     dropout: float = 0.0
     dtype: Any = jnp.float32
+    fused_attention: str = "auto"
+    fused_mlp: str = "auto"
 
     def __post_init__(self):
         super().__post_init__()
@@ -138,6 +190,8 @@ class NesT(nn.Module):
                           b1=block_size, b2=block_size)
             x = NesTTransformer(dim_in, seq_len, depth, heads, self.mlp_mult,
                                 dropout=self.dropout, dtype=self.dtype,
+                                fused_attention=self.fused_attention,
+                                fused_mlp=self.fused_mlp,
                                 name=f"transformer_{idx}")(
                 x, training=training)
             x = rearrange(x, "(b b1 b2) h w c -> b (b1 h) (b2 w) c",

@@ -21,7 +21,43 @@ from einops import rearrange
 from flax import linen as nn
 
 from vit_tpu.core.helpers import cast_tuple, divisible_by
-from vit_tpu.layers.common import Conv, Dense, LayerNorm, gelu_exact
+from vit_tpu.layers.common import (Conv, Dense, LayerNorm, gelu_exact,
+                                   windowed_attention_eligible)
+
+
+def _fused_region_attention_residual(x, attn, mode, training,
+                                     rel_pos_bias=None):
+    """``attn(x, rel_pos_bias) + x`` through the fused attention block
+    (bias-capable variant when the per-head relative position table is
+    given), or ``None`` when the gate declines.  ``attn`` is the shared
+    ``RegionAttention`` module — the same params serve the region
+    self-attention and the joint region+local window attention
+    (reference regionvit.py:158-169)."""
+    from vit_tpu.ops.fused_attention_block import (fused_attention_block,
+                                                   fused_attention_block_bias)
+
+    G, n, c = x.shape
+    if not windowed_attention_eligible((G, n, c), x.dtype, attn.dropout,
+                                       training, attn.dtype, mode):
+        return None
+    inner = attn.heads * attn.dim_head
+    attn(jnp.zeros((1, 1, c), x.dtype))
+    ap = attn.variables["params"]
+    args = (
+        x,
+        ap["norm"]["scale"].astype(jnp.float32),
+        ap["norm"]["bias"].astype(jnp.float32),
+        ap["to_qkv"]["kernel"].astype(x.dtype),
+        ap["to_out"]["kernel"].astype(x.dtype),
+        ap["to_out"]["bias"].astype(x.dtype),
+    )
+    if rel_pos_bias is None:
+        return fused_attention_block(*args, attn.heads, attn.dim_head,
+                                     None, 1e-3, mode == "interpret")
+    bias = rel_pos_bias[0].astype(jnp.float32)  # (1,h,i,j) -> (heads, n, n)
+    return fused_attention_block_bias(*args, bias, attn.heads,
+                                      attn.dim_head, None, 1e-3,
+                                      mode == "interpret")
 
 
 class RegionAttention(nn.Module):
@@ -84,6 +120,7 @@ class R2LTransformer(nn.Module):
     attn_dropout: float = 0.0
     ff_dropout: float = 0.0
     dtype: Any = jnp.float32
+    fused_attention: str = "auto"
 
     @nn.compact
     def __call__(self, local_tokens, region_tokens, training: bool = False):
@@ -120,7 +157,11 @@ class R2LTransformer(nn.Module):
             ff = RegionMLP(self.dim, dropout=self.ff_dropout,
                            dtype=self.dtype, name=f"ff_{i}")
 
-            region_tokens = attn(region_tokens, training=training) + region_tokens
+            y = (_fused_region_attention_residual(
+                    region_tokens, attn, self.fused_attention, training)
+                 if self.fused_attention != "never" else None)
+            region_tokens = y if y is not None else \
+                attn(region_tokens, training=training) + region_tokens
 
             lt = rearrange(local_tokens, "b (h w) d -> b h w d", h=lh)
             lt = rearrange(lt, "b (h p1) (w p2) d -> (b h w) (p1 p2) d",
@@ -128,8 +169,13 @@ class R2LTransformer(nn.Module):
             rt = rearrange(region_tokens, "b n d -> (b n) () d")
 
             joint = jnp.concatenate([rt, lt], axis=1)
-            joint = attn(joint, rel_pos_bias=rel_pos_bias,
-                         training=training) + joint
+            y = (_fused_region_attention_residual(
+                    joint, attn, self.fused_attention, training,
+                    rel_pos_bias=rel_pos_bias)
+                 if self.fused_attention != "never" else None)
+            joint = y if y is not None else \
+                attn(joint, rel_pos_bias=rel_pos_bias,
+                     training=training) + joint
             joint = ff(joint, training=training) + joint
 
             region_tokens, local_tokens = joint[:, :1], joint[:, 1:]
@@ -157,6 +203,7 @@ class RegionViT(nn.Module):
     attn_dropout: float = 0.0
     ff_dropout: float = 0.0
     dtype: Any = jnp.float32
+    fused_attention: str = "auto"
 
     def __post_init__(self):
         super().__post_init__()
@@ -213,7 +260,8 @@ class RegionViT(nn.Module):
             local_tokens, region_tokens = R2LTransformer(
                 d, window_size=self.window_size, depth=num_layers,
                 attn_dropout=self.attn_dropout, ff_dropout=self.ff_dropout,
-                dtype=self.dtype, name=f"transformer_{ind}",
+                dtype=self.dtype, fused_attention=self.fused_attention,
+                name=f"transformer_{ind}",
             )(local_tokens, region_tokens, training=training)
 
         out = jnp.mean(region_tokens, axis=(1, 2))

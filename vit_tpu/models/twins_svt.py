@@ -17,7 +17,49 @@ import jax.numpy as jnp
 from einops import rearrange
 from flax import linen as nn
 
-from vit_tpu.layers.common import ChannelLayerNorm, Conv, Dense, gelu_exact
+from vit_tpu.layers.common import (ChannelLayerNorm, Conv, Dense,
+                                   fused_conv_mlp_residual, gelu_exact,
+                                   windowed_attention_eligible)
+
+
+def _fused_local_attention_residual(x, norm, attn, mode, training):
+    """``x + LocalAttention(ChannelLN(x))`` through the fused attention
+    block kernel with windows folded into the batch axis, or ``None`` when
+    the gate declines (caller runs the exact XLA path).
+
+    The window fold is a pure token permutation, so it commutes with the
+    per-token LN / 1×1-conv projections — the kernel sees (b·wins, p², c)
+    and keeps every (p², p²) score tile in VMEM instead of XLA's
+    HBM-materialized f32 (b·wins·heads, p², p²) maps."""
+    from vit_tpu.ops.fused_attention_block import fused_attention_block
+
+    p = attn.patch_size
+    b, H, W, c = x.shape
+    groups = b * (H // p) * (W // p)
+    if not windowed_attention_eligible((groups, p * p, c), x.dtype,
+                                       attn.dropout, training, attn.dtype,
+                                       mode):
+        return None
+    inner = attn.heads * attn.dim_head
+    dummy = jnp.zeros((1, p, p, c), x.dtype)
+    norm(dummy)
+    attn(dummy)
+    np_ = norm.variables["params"]
+    ap = attn.variables["params"]
+    wq = ap["to_q"]["kernel"].reshape(c, inner)
+    wkv = ap["to_kv"]["kernel"].reshape(c, 2 * inner)
+    wqkv = jnp.concatenate([wq, wkv], axis=-1).astype(x.dtype)
+    wo = ap["to_out"]["kernel"].reshape(inner, c).astype(x.dtype)
+    bo = ap["to_out"]["bias"].astype(x.dtype)
+    xw = rearrange(x, "b (x p1) (y p2) c -> (b x y) (p1 p2) c", p1=p, p2=p)
+    yw = fused_attention_block(
+        xw,
+        np_["g"].reshape(-1).astype(jnp.float32),
+        np_["b"].reshape(-1).astype(jnp.float32),
+        wqkv, wo, bo, attn.heads, attn.dim_head, None, norm.eps,
+        mode == "interpret")
+    return rearrange(yw, "(b x y) (p1 p2) c -> b (x p1) (y p2) c",
+                     x=H // p, y=W // p, p1=p, p2=p)
 
 
 class ConvMLP(nn.Module):
@@ -160,34 +202,42 @@ class TwinsTransformer(nn.Module):
     dropout: float = 0.0
     has_local: bool = True
     dtype: Any = jnp.float32
+    fused_attention: str = "auto"
+    fused_mlp: str = "auto"
+
+    def _conv_mlp(self, x, i, tag, training):
+        norm = ChannelLayerNorm(self.dim, name=f"{tag}_norm_{i}")
+        mlp = ConvMLP(self.dim, self.mlp_mult, dropout=self.dropout,
+                      dtype=self.dtype, name=f"{tag}_{i}")
+        y = fused_conv_mlp_residual(x, norm, mlp, self.dropout, training,
+                                    self.dtype, self.fused_mlp)
+        return y if y is not None else x + mlp(norm(x), training=training)
 
     @nn.compact
     def __call__(self, x, training: bool = False):
         for i in range(self.depth):
             if self.has_local:
-                h = ChannelLayerNorm(self.dim, name=f"local_norm_{i}")(x)
-                h = LocalAttention(self.dim, heads=self.heads,
-                                   dim_head=self.dim_head,
-                                   dropout=self.dropout,
-                                   patch_size=self.local_patch_size,
-                                   dtype=self.dtype, name=f"local_attn_{i}")(
-                    h, training=training)
-                x = x + h
-                h = ChannelLayerNorm(self.dim, name=f"ff1_norm_{i}")(x)
-                h = ConvMLP(self.dim, self.mlp_mult, dropout=self.dropout,
-                            dtype=self.dtype, name=f"ff1_{i}")(
-                    h, training=training)
-                x = x + h
+                norm = ChannelLayerNorm(self.dim, dtype=self.dtype,
+                                        name=f"local_norm_{i}")
+                attn = LocalAttention(self.dim, heads=self.heads,
+                                      dim_head=self.dim_head,
+                                      dropout=self.dropout,
+                                      patch_size=self.local_patch_size,
+                                      dtype=self.dtype,
+                                      name=f"local_attn_{i}")
+                y = (_fused_local_attention_residual(
+                        x, norm, attn, self.fused_attention, training)
+                     if self.fused_attention != "never" else None)
+                x = y if y is not None else x + attn(norm(x),
+                                                     training=training)
+                x = self._conv_mlp(x, i, "ff1", training)
             h = ChannelLayerNorm(self.dim, name=f"global_norm_{i}")(x)
             h = GlobalAttention(self.dim, heads=self.heads,
                                 dim_head=self.dim_head, dropout=self.dropout,
                                 k=self.global_k, dtype=self.dtype,
                                 name=f"global_attn_{i}")(h, training=training)
             x = x + h
-            h = ChannelLayerNorm(self.dim, name=f"ff2_norm_{i}")(x)
-            h = ConvMLP(self.dim, self.mlp_mult, dropout=self.dropout,
-                        dtype=self.dtype, name=f"ff2_{i}")(h, training=training)
-            x = x + h
+            x = self._conv_mlp(x, i, "ff2", training)
         return x
 
 
@@ -218,6 +268,8 @@ class TwinsSVT(nn.Module):
     peg_kernel_size: int = 3
     dropout: float = 0.0
     dtype: Any = jnp.float32
+    fused_attention: str = "auto"
+    fused_mlp: str = "auto"
 
     @nn.compact
     def __call__(self, x: jax.Array, training: bool = False) -> jax.Array:
@@ -234,6 +286,8 @@ class TwinsSVT(nn.Module):
                 dim=dim, depth=1, local_patch_size=cfg["local_patch_size"],
                 global_k=cfg["global_k"], dropout=self.dropout,
                 has_local=not is_last, dtype=self.dtype,
+                fused_attention=self.fused_attention,
+                fused_mlp=self.fused_mlp,
                 name=f"{prefix}_pre_transformer",
             )(x, training=training)
             x = PEG(dim=dim, kernel_size=self.peg_kernel_size,
@@ -244,6 +298,8 @@ class TwinsSVT(nn.Module):
                 local_patch_size=cfg["local_patch_size"],
                 global_k=cfg["global_k"], dropout=self.dropout,
                 has_local=not is_last, dtype=self.dtype,
+                fused_attention=self.fused_attention,
+                fused_mlp=self.fused_mlp,
                 name=f"{prefix}_transformer",
             )(x, training=training)
 

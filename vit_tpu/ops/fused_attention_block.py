@@ -72,7 +72,11 @@ def _batch_per_program(n: int, dmodel: int, inner: int, itemsize: int,
     Prefers a VMEM-fitting bb that DIVIDES the actual batch: a dividing
     block removes the explicit pad/slice ops around the kernel (measured
     ~1.2 ms/step of pad/reshape/slice at B/16 inference, where the cap of
-    9 padded batch 64 → 72)."""
+    9 padded batch 64 → 72).
+
+    Short windows (n < 128, e.g. 49-token local-attention windows folded
+    into the batch dim) raise the cap: per-window work is tiny, and the
+    batch axis there counts thousands of window×image groups."""
     n_p = _roundup(n, 16)
     n_lane = _roundup(n, 128)
     weights = 2 * (dmodel * 3 * inner + inner * dmodel) * itemsize  # +transposed
@@ -80,7 +84,7 @@ def _batch_per_program(n: int, dmodel: int, inner: int, itemsize: int,
         + (6 if bwd else 2) * n_p * n_lane * 4
     budget = 48 * 1024 * 1024 - weights
     bb = max(1, budget // max(per_img, 1))
-    bb = int(min(bb, 16))
+    bb = int(min(bb, 128 if n < 128 else 16))
     if b is not None and b > bb:
         for cand in range(bb, 0, -1):
             if b % cand == 0:
@@ -96,7 +100,7 @@ def _batch_per_program(n: int, dmodel: int, inner: int, itemsize: int,
 
 def _fwd_kernel(x_ref, g_ref, b_ref, wqkv_ref, wo_ref, bo_ref,
                 y_ref, xn_ref=None, qkv_ref=None, oattn_ref=None, *,
-                heads, dim_head, scale, eps):
+                heads, dim_head, scale, eps, bias_ref=None, n_valid=None):
     bb, n, dmodel = x_ref.shape
     inner = heads * dim_head
     x = x_ref[:]
@@ -125,6 +129,15 @@ def _fwd_kernel(x_ref, g_ref, b_ref, wqkv_ref, wo_ref, bo_ref,
         s = jax.lax.dot_general(
             q, k, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32) * scale  # (bb, n, n) f32
+        if bias_ref is not None:
+            hb = h if bias_ref.shape[0] > 1 else 0
+            s = s + bias_ref[hb][None].astype(jnp.float32)
+        if n_valid is not None and n_valid < n:
+            # Token axis host-padded to a sublane multiple (Mosaic can't
+            # shape-cast (bb, n, d<128-lane) flattens at odd n): mask the
+            # pad keys out of every softmax row.
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
+            s = jnp.where(col < n_valid, s, -1e30)
         p = _softmax(s).astype(x.dtype)
         o = jax.lax.dot_general(
             p, v, (((2,), (1,)), ((0,), (0,))),
@@ -144,7 +157,8 @@ def _fwd_kernel(x_ref, g_ref, b_ref, wqkv_ref, wo_ref, bo_ref,
 
 def _bwd_kernel(dy_ref, x_ref, qkv_ref, g_ref, wqkvt_ref, wot_ref,
                 dx_ref, dqkv_ref, dg_ref, db_ref, dbo_ref, *,
-                heads, dim_head, scale, eps):
+                heads, dim_head, scale, eps, bias_ref=None, dbias_ref=None,
+                n_valid=None):
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -152,6 +166,8 @@ def _bwd_kernel(dy_ref, x_ref, qkv_ref, g_ref, wqkvt_ref, wot_ref,
         dg_ref[:] = jnp.zeros_like(dg_ref)
         db_ref[:] = jnp.zeros_like(db_ref)
         dbo_ref[:] = jnp.zeros_like(dbo_ref)
+        if dbias_ref is not None:
+            dbias_ref[:] = jnp.zeros_like(dbias_ref)
 
     bb, n, dmodel = x_ref.shape
     inner = heads * dim_head
@@ -179,6 +195,12 @@ def _bwd_kernel(dy_ref, x_ref, qkv_ref, g_ref, wqkvt_ref, wot_ref,
         s = jax.lax.dot_general(
             q, k, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32) * scale
+        if bias_ref is not None:
+            hb = h if bias_ref.shape[0] > 1 else 0
+            s = s + bias_ref[hb][None].astype(jnp.float32)
+        if n_valid is not None and n_valid < n:
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
+            s = jnp.where(col < n_valid, s, -1e30)
         p = _softmax(s)  # (bb, n, n) f32
         pd = p.astype(dt)
 
@@ -189,7 +211,11 @@ def _bwd_kernel(dy_ref, x_ref, qkv_ref, g_ref, wqkvt_ref, wot_ref,
             do, v, (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)
         dsum = jnp.sum(dp * p, axis=-1, keepdims=True)
-        ds = (p * (dp - dsum) * scale).astype(dt)
+        ds0 = p * (dp - dsum)  # (bb, n, n) f32: d(loss)/d(logits)
+        if dbias_ref is not None:
+            hb = h if dbias_ref.shape[0] > 1 else 0
+            dbias_ref[hb] += jnp.sum(ds0, axis=0)
+        ds = (ds0 * scale).astype(dt)
         dq = jax.lax.dot_general(
             ds, k, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)
@@ -231,18 +257,54 @@ def _pad_batch(x, bb):
     return x
 
 
+def _needs_token_pad(n: int, dmodel: int, inner: int) -> bool:
+    """Mosaic can shape-cast the in-kernel (bb, n, d) ↔ (bb·n, d) flattens
+    only when n is a sublane multiple OR every flattened minor dim is a
+    lane multiple (measured probe matrix: 56/64 OK, 48/64 OK, 49/768 OK,
+    49/64 FAILS).  Odd-n windows (e.g. 7×7=49 local attention) with narrow
+    dims pad the token axis to 8 and mask the pad keys in the softmax."""
+    if n % 8 == 0:
+        return False
+    return not (dmodel % 128 == 0 and inner % 128 == 0)
+
+
+def _pad_tokens(a, n_to):
+    pad = n_to - a.shape[1]
+    if a.ndim == 3 and pad:
+        return jnp.pad(a, ((0, 0), (0, pad), (0, 0)))
+    return a
+
+
 def _forward(x, gamma, beta, wqkv, wo, bo, heads, dim_head, scale, eps,
-             interpret=False, save_residuals=True):
+             interpret=False, save_residuals=True, bias=None):
     b, n, dmodel = x.shape
     inner = heads * dim_head
     dt = x.dtype
+    n_valid = None
+    if _needs_token_pad(n, dmodel, inner):
+        n_valid, n = n, _roundup(n, 8)
+        x = _pad_tokens(x, n)
+        if bias is not None:
+            bias = jnp.pad(bias, ((0, 0), (0, n - n_valid),
+                                  (0, n - n_valid)))
     bb = min(_batch_per_program(n, dmodel, inner, dt.itemsize, bwd=False, b=b), b)
     xp = _pad_batch(x, bb)
     bp = xp.shape[0]
     row = lambda a: a.reshape(1, -1)
 
-    kernel = functools.partial(
-        _fwd_kernel, heads=heads, dim_head=dim_head, scale=scale, eps=eps)
+    if bias is None:
+        kernel = functools.partial(
+            _fwd_kernel, heads=heads, dim_head=dim_head, scale=scale,
+            eps=eps, n_valid=n_valid)
+    else:
+        hb = bias.shape[0]
+
+        def kernel(x_ref, g_ref, b_ref, wqkv_ref, wo_ref, bo_ref, bias_ref,
+                   y_ref, xn_ref=None, qkv_ref=None, oattn_ref=None):
+            _fwd_kernel(x_ref, g_ref, b_ref, wqkv_ref, wo_ref, bo_ref,
+                        y_ref, xn_ref, qkv_ref, oattn_ref, heads=heads,
+                        dim_head=dim_head, scale=scale, eps=eps,
+                        bias_ref=bias_ref, n_valid=n_valid)
     if save_residuals:
         extra_specs = [
             pl.BlockSpec((bb, n, dmodel), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
@@ -259,17 +321,25 @@ def _forward(x, gamma, beta, wqkv, wo, bo, heads, dim_head, scale, eps,
                                    oattn_ref=None)
         extra_specs, extra_shapes = [], []
 
+    in_specs = [
+        pl.BlockSpec((bb, n, dmodel), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, dmodel), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, dmodel), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((dmodel, 3 * inner), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((inner, dmodel), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, dmodel), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    operands = [xp, row(gamma).astype(dt), row(beta).astype(dt), wqkv, wo,
+                row(bo)]
+    if bias is not None:
+        in_specs.append(pl.BlockSpec((hb, n, n), lambda i: (0, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        operands.append(bias.astype(jnp.float32))
+
     out = pl.pallas_call(
         kernel,
         grid=(bp // bb,),
-        in_specs=[
-            pl.BlockSpec((bb, n, dmodel), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, dmodel), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, dmodel), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((dmodel, 3 * inner), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((inner, dmodel), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, dmodel), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((bb, n, dmodel), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ] + extra_specs,
@@ -281,51 +351,85 @@ def _forward(x, gamma, beta, wqkv, wo, bo, heads, dim_head, scale, eps,
             transcendentals=bp * heads * n * n,
         ),
         interpret=interpret,
-    )(xp, row(gamma).astype(dt), row(beta).astype(dt), wqkv, wo, row(bo))
+    )(*operands)
+    nv = n_valid or n
     if save_residuals:
         y, xn, qkv, oattn = out
-        return y[:b], xn[:b], qkv[:b], oattn[:b]
-    return out[0][:b], None, None, None
+        return (y[:b, :nv], xn[:b, :nv], qkv[:b, :nv], oattn[:b, :nv])
+    return out[0][:b, :nv], None, None, None
 
 
 def _backward(dy, x, qkv, gamma, wqkv, wo, heads, dim_head, scale, eps,
-              interpret=False):
+              interpret=False, bias=None):
     b, n, dmodel = x.shape
     inner = heads * dim_head
     dt = x.dtype
+    n_valid = None
+    if _needs_token_pad(n, dmodel, inner):
+        n_valid, n = n, _roundup(n, 8)
+        dy, x, qkv = (_pad_tokens(a, n) for a in (dy, x, qkv))
+        if bias is not None:
+            bias = jnp.pad(bias, ((0, 0), (0, n - n_valid),
+                                  (0, n - n_valid)))
     bb = min(_batch_per_program(n, dmodel, inner, dt.itemsize, bwd=True, b=b), b)
     dyp, xp, qkvp = _pad_batch(dy, bb), _pad_batch(x, bb), _pad_batch(qkv, bb)
     bp = xp.shape[0]
     wqkvt = wqkv.T  # (3·inner, dmodel)
     wot = wo.T      # (dmodel, inner)
 
-    kernel = functools.partial(
-        _bwd_kernel, heads=heads, dim_head=dim_head, scale=scale, eps=eps)
-    dx, dqkv, dg, db, dbo = pl.pallas_call(
+    if bias is None:
+        kernel = functools.partial(
+            _bwd_kernel, heads=heads, dim_head=dim_head, scale=scale,
+            eps=eps, n_valid=n_valid)
+    else:
+        hb = bias.shape[0]
+
+        def kernel(dy_ref, x_ref, qkv_ref, g_ref, wqkvt_ref, wot_ref,
+                   bias_ref, dx_ref, dqkv_ref, dg_ref, db_ref, dbo_ref,
+                   dbias_ref):
+            _bwd_kernel(dy_ref, x_ref, qkv_ref, g_ref, wqkvt_ref, wot_ref,
+                        dx_ref, dqkv_ref, dg_ref, db_ref, dbo_ref,
+                        heads=heads, dim_head=dim_head, scale=scale, eps=eps,
+                        bias_ref=bias_ref, dbias_ref=dbias_ref,
+                        n_valid=n_valid)
+
+    in_specs = [
+        pl.BlockSpec((bb, n, dmodel), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((bb, n, dmodel), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((bb, n, 3 * inner), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, dmodel), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((3 * inner, dmodel), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((dmodel, inner), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    operands = [dyp, xp, qkvp, gamma.reshape(1, -1).astype(dt), wqkvt, wot]
+    out_specs = [
+        pl.BlockSpec((bb, n, dmodel), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((bb, n, 3 * inner), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, dmodel), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, dmodel), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, dmodel), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((bp, n, dmodel), dt),
+        jax.ShapeDtypeStruct((bp, n, 3 * inner), dt),
+        jax.ShapeDtypeStruct((1, dmodel), jnp.float32),
+        jax.ShapeDtypeStruct((1, dmodel), jnp.float32),
+        jax.ShapeDtypeStruct((1, dmodel), jnp.float32),
+    ]
+    if bias is not None:
+        in_specs.append(pl.BlockSpec((hb, n, n), lambda i: (0, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        operands.append(bias.astype(jnp.float32))
+        out_specs.append(pl.BlockSpec((hb, n, n), lambda i: (0, 0, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((hb, n, n), jnp.float32))
+
+    outs = pl.pallas_call(
         kernel,
         grid=(bp // bb,),
-        in_specs=[
-            pl.BlockSpec((bb, n, dmodel), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bb, n, dmodel), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bb, n, 3 * inner), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, dmodel), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((3 * inner, dmodel), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((dmodel, inner), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((bb, n, dmodel), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bb, n, 3 * inner), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, dmodel), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, dmodel), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, dmodel), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((bp, n, dmodel), dt),
-            jax.ShapeDtypeStruct((bp, n, 3 * inner), dt),
-            jax.ShapeDtypeStruct((1, dmodel), jnp.float32),
-            jax.ShapeDtypeStruct((1, dmodel), jnp.float32),
-            jax.ShapeDtypeStruct((1, dmodel), jnp.float32),
-        ],
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         cost_estimate=pl.CostEstimate(
             flops=2 * bp * n * dmodel * 4 * inner + 10 * bp * heads * n * n * dim_head,
@@ -333,8 +437,14 @@ def _backward(dy, x, qkv, gamma, wqkv, wo, heads, dim_head, scale, eps,
             transcendentals=bp * heads * n * n,
         ),
         interpret=interpret,
-    )(dyp, xp, qkvp, gamma.reshape(1, -1).astype(dt), wqkvt, wot)
-    return (dx[:b], dqkv[:b], dg.reshape(-1), db.reshape(-1), dbo.reshape(-1))
+    )(*operands)
+    dx, dqkv, dg, db, dbo = outs[:5]
+    dbias = outs[5] if bias is not None else None
+    nv = n_valid or n
+    if dbias is not None:
+        dbias = dbias[:, :nv, :nv]
+    return (dx[:b, :nv], dqkv[:b, :nv], dg.reshape(-1), db.reshape(-1),
+            dbo.reshape(-1), dbias)
 
 
 # --- public op -------------------------------------------------------------------
@@ -371,8 +481,8 @@ def _vjp_bwd(heads, dim_head, scale, eps, interpret, res, dy):
         scale = dim_head ** -0.5
     b, n, dmodel = x.shape
     inner = heads * dim_head
-    dx, dqkv, dg, db, dbo = _backward(dy, x, qkv, gamma, wqkv, wo, heads,
-                                      dim_head, scale, eps, interpret)
+    dx, dqkv, dg, db, dbo, _ = _backward(dy, x, qkv, gamma, wqkv, wo, heads,
+                                         dim_head, scale, eps, interpret)
     # Weight gradients: near-peak XLA GEMMs over the saved residuals.
     dwqkv = jax.lax.dot_general(
         xn.reshape(b * n, dmodel), dqkv.reshape(b * n, 3 * inner),
@@ -386,3 +496,60 @@ def _vjp_bwd(heads, dim_head, scale, eps, interpret, res, dy):
 
 
 fused_attention_block.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+# --- biased variant ---------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11))
+def fused_attention_block_bias(x, gamma, beta, wqkv, wo, bo, bias,
+                               heads: int, dim_head: int, scale: float = None,
+                               eps: float = 1e-3, interpret: bool = False):
+    """:func:`fused_attention_block` plus an additive attention bias.
+
+    ``bias`` is ``(1, n, n)`` (shared across heads — CrossFormer's dynamic
+    position bias, reference crossformer.py:148-170) or ``(heads, n, n)``
+    (per-head — RegionViT's relative position table, regionvit.py:118-149),
+    f32, added to the scaled logits before softmax.  Gradients flow to
+    ``bias`` (the reference's DPB gradient is severed by its ``.numpy()``
+    escape — SURVEY.md §8.5; here the producing MLP/Embed trains).
+    """
+    if scale is None:
+        scale = dim_head ** -0.5
+    y, _, _, _ = _forward(x, gamma, beta, wqkv, wo, bo, heads, dim_head,
+                          scale, eps, interpret, save_residuals=False,
+                          bias=bias)
+    return y
+
+
+def _vjp_fwd_bias(x, gamma, beta, wqkv, wo, bo, bias, heads, dim_head, scale,
+                  eps, interpret):
+    if scale is None:
+        scale = dim_head ** -0.5
+    y, xn, qkv, oattn = _forward(x, gamma, beta, wqkv, wo, bo, heads,
+                                 dim_head, scale, eps, interpret,
+                                 save_residuals=True, bias=bias)
+    return y, (x, xn, qkv, oattn, gamma, wqkv, wo, bias)
+
+
+def _vjp_bwd_bias(heads, dim_head, scale, eps, interpret, res, dy):
+    x, xn, qkv, oattn, gamma, wqkv, wo, bias = res
+    if scale is None:
+        scale = dim_head ** -0.5
+    b, n, dmodel = x.shape
+    inner = heads * dim_head
+    dx, dqkv, dg, db, dbo, dbias = _backward(dy, x, qkv, gamma, wqkv, wo,
+                                             heads, dim_head, scale, eps,
+                                             interpret, bias=bias)
+    dwqkv = jax.lax.dot_general(
+        xn.reshape(b * n, dmodel), dqkv.reshape(b * n, 3 * inner),
+        (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(wqkv.dtype)
+    dwo = jax.lax.dot_general(
+        oattn.reshape(b * n, inner), dy.reshape(b * n, dmodel),
+        (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(wo.dtype)
+    return (dx, dg, db, dwqkv, dwo, dbo.astype(wo.dtype),
+            dbias.astype(bias.dtype))
+
+
+fused_attention_block_bias.defvjp(_vjp_fwd_bias, _vjp_bwd_bias)
