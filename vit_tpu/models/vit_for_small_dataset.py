@@ -36,10 +36,15 @@ def shift_4(x: jax.Array) -> list[jax.Array]:
 
 
 class SPT(nn.Module):
-    """Shifted Patch Tokenization (reference :142-157)."""
+    """Shifted Patch Tokenization (reference :142-157).
+
+    ``channels`` mirrors the reference constructor (README.md:861-869);
+    Flax infers input widths, so it only documents the expected input.
+    """
 
     dim: int
     patch_size: int
+    channels: int = 3
     dtype: Any = jnp.float32
 
     @nn.compact

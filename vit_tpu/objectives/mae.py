@@ -17,7 +17,7 @@ deterministic.
 
 from __future__ import annotations
 
-from typing import Any
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
@@ -37,9 +37,9 @@ def random_masking_indices(key, batch, num_patches):
 class MAE(nn.Module):
     """Constructor parity: reference mae.py:18-26."""
 
-    image_size: int
     encoder: ViT
     decoder_dim: int
+    image_size: Optional[int] = None  # informational; shapes are inferred
     masking_ratio: float = 0.75
     decoder_depth: int = 1
     decoder_heads: int = 8

@@ -89,9 +89,10 @@ class MPPLoss(nn.Module):
 class MPP(nn.Module):
     """Constructor parity: reference mpp.py:134-146."""
 
-    image_size: int
     transformer: ViT
     patch_size: int
+    image_size: Optional[int] = None  # informational; shapes are inferred
+    dim: Optional[int] = None         # informational; inferred from encoder
     output_channel_bits: int = 3
     channels: int = 3
     max_pixel_val: float = 1.0

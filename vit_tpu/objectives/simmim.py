@@ -16,7 +16,7 @@ kept for output parity, it is a constant scale).
 
 from __future__ import annotations
 
-from typing import Any
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
@@ -38,8 +38,8 @@ def masked_topk_indices(key, batch, num_patches, num_masked):
 class SimMIM(nn.Module):
     """Constructor parity: reference simmim.py:68."""
 
-    image_size: int
     encoder: ViT
+    image_size: Optional[int] = None  # informational; shapes are inferred
     masking_ratio: float = 0.5
     dtype: Any = jnp.float32
 
