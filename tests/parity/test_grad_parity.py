@@ -229,3 +229,200 @@ def test_cait_grad_parity(tf):
     for jg, tg in zip(jax_gs, tf_gs[1:]):
         np.testing.assert_allclose(np.asarray(jg), np.asarray(tg),
                                    atol=2e-5, rtol=1e-3)
+
+
+def test_scalable_vit_grad_parity(tf):
+    """SSA conv-reduced k/v + IWSA windowing + the LIM value-residual conv,
+    vs the §8.3-patched reference (paper block order SSA-FF-PEG-IWSA-FF;
+    reference scalable_vit.py:222-236)."""
+    import scalable_vit as ref
+
+    from vit_tpu.models.scalable_vit import ScalableViT
+
+    def fixed_call(self, x, training=True):
+        for ssa, ff1, peg, ff2, iwsa in self.layers:
+            x = ssa(x, training=training) + x
+            x = ff1(x, training=training) + x
+            if peg is not None:
+                x = peg(x)
+            x = iwsa(x, training=training) + x
+            x = ff2(x, training=training) + x
+        return self.norm(x)
+
+    ref.Transformer.call = fixed_call
+
+    cfg = dict(num_classes=9, dim=32, heads=(2, 4), depth=(1, 2),
+               reduction_factor=(4, 2), window_size=(8, None),
+               ssa_dim_key=(16, 16), ssa_dim_value=(16, 16),
+               iwsa_dim_key=(16, 16), iwsa_dim_value=(16, 16))
+    img = np.random.RandomState(17).randn(2, 128, 128, 3).astype(np.float32)
+
+    tfm = ref.ScalableViT(**cfg)
+    tfm(tf.constant(img), training=False)  # build
+    ours = ScalableViT(**cfg)
+    variables = ours.init(jax.random.PRNGKey(0), jnp.asarray(img))
+    variables = tf_weights.transplant_scalable_vit(tfm, variables)
+
+    ssa0, _, _, _, iwsa0 = tfm.scalable_layers[0][0].layers[0]
+    tf_vars = [
+        tfm.to_patches.kernel,                      # patch conv
+        ssa0.fn.to_q.kernel,                        # SSA query conv
+        iwsa0.fn.local_interactive_module.kernel,   # LIM 3x3 value conv
+    ]
+    tf_gs = _tf_grads(tf, tfm, img, tf_vars)
+
+    jg_v, jg_img = _jax_grads(ours, variables, img)
+    p = jg_v["params"]
+    jax_gs = [
+        p["to_patches"]["kernel"],
+        p["stage_0"]["ssa_0"]["to_q"]["kernel"],
+        p["stage_0"]["iwsa_0"]["local_interactive_module"]["kernel"],
+    ]
+    np.testing.assert_allclose(np.asarray(jg_img), np.asarray(tf_gs[0]),
+                               atol=2e-5, rtol=1e-3)
+    for jg, tg in zip(jax_gs, tf_gs[1:]):
+        np.testing.assert_allclose(np.asarray(jg), np.asarray(tg),
+                                   atol=2e-5, rtol=1e-3)
+
+
+def test_mobilevit_grad_parity(tf):
+    """MV2 inverted-residual convs + BN (eval stats) + the unfold-windowed
+    transformer, vs the §8.13-patched reference (mobile_vit.py:99-104)."""
+    import mobile_vit as ref
+    from einops import rearrange
+
+    from vit_tpu.models.mobile_vit import MobileViT
+
+    def fixed_attn_call(self, x, training=True):
+        qkv = self.to_qkv(x)
+        qkv = tf.split(qkv, num_or_size_splits=3, axis=-1)
+        q, k, v = map(
+            lambda t: rearrange(t, "b p n (h d) -> b p h n d", h=self.heads),
+            qkv)
+        dots = tf.matmul(q, tf.transpose(k, perm=[0, 1, 2, 4, 3])) * self.scale
+        attn = self.attend(dots)
+        out = tf.matmul(attn, v)
+        out = rearrange(out, "b p h n d -> b p n (h d)")
+        return self.to_out(out, training=training)
+
+    ref.Attention.call = fixed_attn_call
+
+    cfg = dict(image_size=(128, 128), dims=[32, 40, 48],
+               channels=[8, 12, 16, 16, 24, 24, 32, 32, 40, 40, 128],
+               num_classes=11, depths=(1, 1, 1))
+    img = np.random.RandomState(23).randn(2, 128, 128, 3).astype(np.float32)
+
+    tfm = ref.MobileViT(**cfg)
+    tfm(tf.constant(img), training=False)  # build
+    ours = MobileViT(**cfg)
+    variables = ours.init(jax.random.PRNGKey(0), jnp.asarray(img))
+    variables = tf_weights.transplant_mobile_vit(tfm, variables)
+
+    mvit0 = tfm.trunk[0][1]
+    tf_vars = [
+        tfm.conv1.layers.layers[0].kernel,                 # stem conv (BN follows)
+        mvit0.transformer.layers[0][0].fn.to_qkv.kernel,   # windowed attn proj
+        mvit0.conv4.layers.layers[0].kernel,               # fusion conv
+    ]
+    tf_gs = _tf_grads(tf, tfm, img, tf_vars)
+
+    jg_v, jg_img = _jax_grads(ours, variables, img)
+    p = jg_v["params"]
+    jax_gs = [
+        p["conv1"]["conv"]["kernel"],
+        p["trunk_attn_0"]["attn_0"]["to_qkv"]["kernel"],
+        p["trunk_attn_0"]["conv4"]["conv"]["kernel"],
+    ]
+    np.testing.assert_allclose(np.asarray(jg_img), np.asarray(tf_gs[0]),
+                               atol=2e-5, rtol=1e-3)
+    for jg, tg in zip(jax_gs, tf_gs[1:]):
+        np.testing.assert_allclose(np.asarray(jg), np.asarray(tg),
+                                   atol=2e-5, rtol=1e-3)
+
+
+def test_ats_grad_parity(tf):
+    """Backward through the adaptive token sampling: CLS-score weighted
+    inverse-transform sampling, gathers, and the attention mask — with
+    SYNCHRONIZED gumbel noise on both sides (see test_ats_parity)."""
+    import ats_vit as ref
+
+    from tests.parity.test_ats_parity import CFG, _sync_noise
+    from vit_tpu.models import ats_vit
+
+    _sync_noise(tf, ref, seed=11)
+    img = np.random.RandomState(29).randn(2, 64, 64, 3).astype(np.float32)
+
+    tfm = ref.ViT(**CFG)
+    tfm(tf.constant(img), training=False)  # build
+    ours = ats_vit.ViT(**CFG)
+    variables = ours.init(jax.random.PRNGKey(0), jnp.asarray(img))
+    variables = tf_weights.transplant_ats_vit(tfm, variables)
+
+    tf_vars = [
+        tfm.patch_embedding.layers[1].kernel,
+        tfm.transformer.layers[0][0].fn.to_qkv.kernel,  # pre-sampling layer
+        tfm.transformer.layers[2][0].fn.to_qkv.kernel,  # post-sampling layer
+        tfm.cls_token,
+    ]
+    tf_gs = _tf_grads(tf, tfm, img, tf_vars)
+
+    jg_v, jg_img = _jax_grads(ours, variables, img)
+    p = jg_v["params"]
+    jax_gs = [
+        p["patch_embedding"]["kernel"],
+        p["transformer"]["attn_0"]["to_qkv"]["kernel"],
+        p["transformer"]["attn_2"]["to_qkv"]["kernel"],
+        p["cls_token"],
+    ]
+    np.testing.assert_allclose(np.asarray(jg_img), np.asarray(tf_gs[0]),
+                               atol=2e-5, rtol=1e-3)
+    for jg, tg in zip(jax_gs, tf_gs[1:]):
+        np.testing.assert_allclose(np.asarray(jg), np.asarray(tg),
+                                   atol=2e-5, rtol=1e-3)
+
+
+def test_t2t_grad_parity(tf):
+    """Backward through the unfold tokenizer chain ('SAME' extract_patches
+    gradients, reference t2t.py:17-47) + the single-head identity-out
+    stages."""
+    import t2t as ref
+
+    from vit_tpu.models import t2t
+
+    cfg = dict(image_size=48, num_classes=11, dim=64, depth=2, heads=2,
+               mlp_dim=128, dim_head=32, t2t_layers=((3, 2), (3, 2)))
+    img = np.random.RandomState(31).randn(2, 48, 48, 3).astype(np.float32)
+
+    tfm = ref.T2TViT(**cfg)
+    # Keras 3 rejects the reference's empty Sequential([]) identity out-proj
+    # (hit when heads==1 and dim_head==dim in T2T stages).
+    for stage in tfm.patch_embedding.layers[:-1]:
+        if not stage.is_last:
+            for pre_attn, _ in stage.transformer_layer.layers:
+                if len(pre_attn.fn.to_out.layers) == 0:
+                    pre_attn.fn.to_out = tf.keras.layers.Identity()
+    tfm(tf.constant(img), training=False)  # build
+    ours = t2t.T2TViT(**cfg)
+    variables = ours.init(jax.random.PRNGKey(0), jnp.asarray(img))
+    variables = tf_weights.transplant_t2t(tfm, variables)
+
+    stage0 = tfm.patch_embedding.layers[0]
+    tf_vars = [
+        stage0.transformer_layer.layers[0][0].fn.to_qkv.kernel,
+        tfm.patch_embedding.layers[-1].kernel,  # final linear patch embed
+        tfm.pos_embedding,
+    ]
+    tf_gs = _tf_grads(tf, tfm, img, tf_vars)
+
+    jg_v, jg_img = _jax_grads(ours, variables, img)
+    p = jg_v["params"]
+    jax_gs = [
+        p["t2t_transformer_0"]["attn_0"]["to_qkv"]["kernel"],
+        p["patch_embedding"]["kernel"],
+        p["pos_embedding"],
+    ]
+    np.testing.assert_allclose(np.asarray(jg_img), np.asarray(tf_gs[0]),
+                               atol=2e-5, rtol=1e-3)
+    for jg, tg in zip(jax_gs, tf_gs[1:]):
+        np.testing.assert_allclose(np.asarray(jg), np.asarray(tg),
+                                   atol=2e-5, rtol=1e-3)
