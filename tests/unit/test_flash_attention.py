@@ -115,3 +115,22 @@ def test_flash_v2_matches_xla_interpret(n, d, bq, bk):
     with pltpu.force_tpu_interpret_mode():
         out = flash_attention_v2(q, k, v, scale, block_q=bq, block_k=bk)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_flash_dispatch_pads_odd_head_dim():
+    """ScalableViT's dim_key=40 path: the dispatcher zero-pads q/k/v to the
+    64-lane block and slices the output — exact same attention."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    ks = jax.random.split(jax.random.PRNGKey(5), 3)
+    q = jax.random.normal(ks[0], (2, 2, 64, 40))
+    k = jax.random.normal(ks[1], (2, 2, 48, 40))
+    v = jax.random.normal(ks[2], (2, 2, 48, 40))
+    scale = 40 ** -0.5
+    with pltpu.force_tpu_interpret_mode():
+        out = scaled_dot_product_attention(q, k, v, scale=scale,
+                                           use_flash="force")
+    ref = scaled_dot_product_attention(q, k, v, scale=scale,
+                                       use_flash="never")
+    assert out.shape == (2, 2, 64, 40)
+    assert jnp.max(jnp.abs(out - ref)) < 1e-5

@@ -24,6 +24,7 @@ from flax import linen as nn
 
 from vit_tpu.core.helpers import cast_tuple, default
 from vit_tpu.layers.common import ChannelLayerNorm, Conv, Dense, LayerNorm, gelu_exact
+from vit_tpu.ops.attention import scaled_dot_product_attention
 
 
 class ConvMLP(nn.Module):
@@ -73,12 +74,11 @@ class ScalableSelfAttention(nn.Module):
             lambda t: rearrange(t, "b ... (h d) -> b h (...) d", h=heads),
             (q, k, v),
         )
-        dots = jnp.einsum("bhid,bhjd->bhij", q, k,
-                          preferred_element_type=jnp.float32)
-        dots = dots * (self.dim_key ** -0.5)
-        attn = jax.nn.softmax(dots, axis=-1)
-        out = jnp.einsum("bhij,bhjd->bhid", attn.astype(v.dtype), v,
-                         preferred_element_type=jnp.float32).astype(v.dtype)
+        # flash dispatch at large n (stage-1 q is 4096 tokens at @256 —
+        # the f32 (b, h, n, n_k) maps are the batch-64 HBM blowup);
+        # the XLA path is the exact parity math at small n / f32.
+        out = scaled_dot_product_attention(q, k, v,
+                                           scale=self.dim_key ** -0.5)
         out = rearrange(out, "b h (x y) d -> b x y (h d)", x=height, y=width)
         out = Conv(self.dim, (1, 1), dtype=self.dtype, name="to_out")(out)
         out = nn.Dropout(self.dropout)(out, deterministic=not training)
@@ -123,12 +123,10 @@ class InteractiveWindowedSelfAttention(nn.Module):
                 h=heads, w1=wsz_h, w2=wsz_w),
             (q, k, v),
         )
-        dots = jnp.einsum("bhid,bhjd->bhij", q, k,
-                          preferred_element_type=jnp.float32)
-        dots = dots * (self.dim_key ** -0.5)
-        attn = jax.nn.softmax(dots, axis=-1)
-        out = jnp.einsum("bhij,bhjd->bhid", attn.astype(v.dtype), v,
-                         preferred_element_type=jnp.float32).astype(v.dtype)
+        # window_size=None stages run one whole-map window (4096 tokens at
+        # stage 1 @256) — flash keeps the n² maps out of HBM there.
+        out = scaled_dot_product_attention(q, k, v,
+                                           scale=self.dim_key ** -0.5)
         out = rearrange(
             out, "(b x y) h (w1 w2) d -> b (x w1) (y w2) (h d)",
             x=height // wsz_h, y=width // wsz_w, w1=wsz_h, w2=wsz_w)

@@ -71,7 +71,10 @@ def _use_flash(q, k, bias, mask) -> bool:
     # (whole-K VMEM residency) 1.15×/1.55× at n=2048/4096, v2
     # (grid-streamed K/V) 1.9× at n=8192 and unbounded n.
     n = max(q.shape[2], k.shape[2])
-    return d % 64 == 0 and n >= 2048 and bias is None and mask is None
+    # Odd head dims (ScalableViT's dim_key 40) zero-pad to the 64-lane
+    # block inside the dispatch — padding contributes 0 to every logit and
+    # the padded output columns are sliced off, so only n gates here.
+    return n >= 2048 and bias is None and mask is None
 
 
 def scaled_dot_product_attention(
@@ -106,15 +109,25 @@ def scaled_dot_product_attention(
         return short_attention(q, k, v, scale)
 
     if use_flash != "never" and (use_flash == "force" or _use_flash(q, k, bias, mask)):
+        # Zero-pad odd head dims to the 64-lane block: pad dims add 0 to
+        # every q·k logit and the padded v columns come back as zeros,
+        # sliced off below — exact same attention.
+        d = q.shape[-1]
+        d_pad = (-d) % 64
+        if d_pad:
+            pad = ((0, 0), (0, 0), (0, 0), (0, d_pad))
+            q, k, v = (jnp.pad(t, pad) for t in (q, k, v))
         # v1 keeps full K/V VMEM-resident, so the tier choice keys on n_k.
         if k.shape[2] > 4096:
             # grid-streamed K/V kernel: unbounded n, 1.9× over XLA at n=8192
             from vit_tpu.ops.flash_attention_v2 import flash_attention_v2
 
-            return flash_attention_v2(q, k, v, scale=scale)
-        from vit_tpu.ops import flash_attention as fa
+            out = flash_attention_v2(q, k, v, scale=scale)
+        else:
+            from vit_tpu.ops import flash_attention as fa
 
-        return fa.flash_attention(q, k, v, scale=scale)
+            out = fa.flash_attention(q, k, v, scale=scale)
+        return out[..., :d] if d_pad else out
 
     return _xla_attention(q, k, v, scale=scale, bias=bias, mask=mask)
 
