@@ -288,9 +288,11 @@ def _fused_attention_tier(x, dropout: float, training: bool, dtype,
         return False
     # Token-major window: below ~128 tokens XLA lays activations out
     # batch-in-sublanes and every kernel boundary forces a relayout copy
-    # (measured: B/32 regressed); above 512 the n² temporaries outgrow the
-    # per-program VMEM budget.
-    if 128 <= n <= 512:
+    # (measured: B/32 regressed).  Above 512 the n² temporaries shrink the
+    # batch block toward 1 (the VMEM math in _batch_per_program); bb=1
+    # still fits and pays up to n=1024 (PiT stage 1: n=962, measured
+    # round 3), beyond which flash territory begins.
+    if 128 <= n <= 1024:
         return "bmajor"
     # Short-sequence window (n < 128): measured NOT to pay at the B/32
     # headline shape — the n-major↔image-major movement around the

@@ -136,6 +136,46 @@ class InteractiveWindowedSelfAttention(nn.Module):
         return out
 
 
+def _fused_ssa_residual(x, norm, attn, mode, training):
+    """``x + SSA(ChannelLN(x))`` through the fused cross-attention block
+    (SSA is cross-attention: 1×1-conv queries over all tokens against
+    kernel=stride=r conv-reduced k/v), or ``None`` when the gate
+    declines."""
+    from vit_tpu.ops.fused_cross_attention import (
+        fused_cross_attention_available, fused_cross_attention_block)
+
+    b, H, W, c = x.shape
+    n = H * W
+    r = attn.reduction_factor
+    nk = (H // r) * (W // r)
+    heads = attn.heads
+    hk, hv = heads * attn.dim_key, heads * attn.dim_value
+    ok = (mode == "interpret" or (
+        attn.dtype in (jnp.bfloat16, jnp.float16)
+        and x.dtype in (jnp.bfloat16, jnp.float16)
+        and fused_cross_attention_available()))
+    if (mode == "never" or not ok or n % 8 != 0 or nk > 512
+            or H % r or W % r or (attn.dropout > 0.0 and training)):
+        return None
+    attn(jnp.zeros((1, r, r, c), x.dtype))
+    ap = attn.variables["params"]
+
+    xn = norm(x)  # once, in XLA — it feeds both the kernel and the k/v convs
+    k = Conv(hk, (r, r), strides=r, use_bias=False, dtype=attn.dtype).apply(
+        {"params": {"kernel": ap["to_k"]["kernel"]}}, xn)
+    v = Conv(hv, (r, r), strides=r, use_bias=False, dtype=attn.dtype).apply(
+        {"params": {"kernel": ap["to_v"]["kernel"]}}, xn)
+    y = fused_cross_attention_block(
+        x.reshape(b, n, c), xn.reshape(b, n, c),
+        ap["to_q"]["kernel"].reshape(c, hk).astype(x.dtype),
+        k.reshape(b, nk, hk), v.reshape(b, nk, hv),
+        ap["to_out"]["kernel"].reshape(hv, c).astype(x.dtype),
+        ap["to_out"]["bias"].astype(x.dtype),
+        heads, attn.dim_key, attn.dim_value,
+        attn.dim_key ** -0.5, mode == "interpret")
+    return y.reshape(b, H, W, c)
+
+
 class ScalableTransformer(nn.Module):
     """Reference scalable_vit.py:200-248, paper block order (§8.3 fix)."""
 
@@ -152,18 +192,22 @@ class ScalableTransformer(nn.Module):
     iwsa_window_size: Optional[int] = None
     norm_output: bool = True
     dtype: Any = jnp.float32
+    fused_attention: str = "auto"
 
     @nn.compact
     def __call__(self, x, training: bool = False):
         for ind in range(self.depth):
-            h = ChannelLayerNorm(self.dim, name=f"ssa_norm_{ind}")(x)
-            h = ScalableSelfAttention(
+            norm = ChannelLayerNorm(self.dim, name=f"ssa_norm_{ind}")
+            ssa = ScalableSelfAttention(
                 self.dim, heads=self.heads, dim_key=self.ssa_dim_key,
                 dim_value=self.ssa_dim_value,
                 reduction_factor=self.ssa_reduction_factor,
                 dropout=self.dropout, dtype=self.dtype,
-                name=f"ssa_{ind}")(h, training=training)
-            x = x + h
+                name=f"ssa_{ind}")
+            y = (_fused_ssa_residual(x, norm, ssa, self.fused_attention,
+                                     training)
+                 if self.fused_attention != "never" else None)
+            x = y if y is not None else x + ssa(norm(x), training=training)
             h = ChannelLayerNorm(self.dim, name=f"ff1_norm_{ind}")(x)
             h = ConvMLP(self.dim, self.ff_expansion_factor,
                         dropout=self.dropout, dtype=self.dtype,
@@ -208,6 +252,7 @@ class ScalableViT(nn.Module):
     channels: int = 3
     dropout: float = 0.0
     dtype: Any = jnp.float32
+    fused_attention: str = "auto"
 
     def __post_init__(self):
         super().__post_init__()
@@ -240,6 +285,7 @@ class ScalableViT(nn.Module):
                 iwsa_dim_key=iwsa_dim_key[ind],
                 iwsa_dim_value=iwsa_dim_value[ind],
                 iwsa_window_size=window_size[ind], dtype=self.dtype,
+                fused_attention=self.fused_attention,
                 name=f"stage_{ind}",
             )(x, training=training)
             if not is_last:

@@ -22,6 +22,50 @@ from vit_tpu.layers.common import (ChannelLayerNorm, Conv, Dense,
                                    windowed_attention_eligible)
 
 
+def _fused_global_attention_residual(x, norm, attn, mode, training):
+    """``x + GlobalAttention(ChannelLN(x))`` through the fused
+    cross-attention block, or ``None`` when the gate declines.
+
+    The LN runs once in XLA (it also feeds the strided k/v conv); the
+    kernel fuses the q projection, per-head attention against the
+    conv-reduced k/v, the out projection and the residual — replacing the
+    head split/merge reshapes and layout copies XLA needs for the same
+    composition (~9 ms/step at Twins stage 1, profiles/twins_svt.md)."""
+    from vit_tpu.ops.fused_cross_attention import (
+        fused_cross_attention_available, fused_cross_attention_block)
+
+    b, H, W, c = x.shape
+    n = H * W
+    gk = attn.k
+    nk = (H // gk) * (W // gk)
+    inner = attn.heads * attn.dim_head
+    ok = (mode == "interpret" or (
+        attn.dtype in (jnp.bfloat16, jnp.float16)
+        and x.dtype in (jnp.bfloat16, jnp.float16)
+        and fused_cross_attention_available()))
+    if (mode == "never" or not ok or n % 8 != 0 or nk > 512
+            or H % gk or W % gk
+            or (attn.dropout > 0.0 and training)):
+        return None
+    attn(jnp.zeros((1, gk, gk, c), x.dtype))
+    ap = attn.variables["params"]
+
+    xn = norm(x)  # once, in XLA — it feeds both the kernel and the kv conv
+    kv = Conv(inner * 2, (gk, gk), strides=gk, use_bias=False,
+              dtype=attn.dtype).apply(
+        {"params": {"kernel": ap["to_kv"]["kernel"]}}, xn)
+    k, v = jnp.split(kv.reshape(b, nk, 2 * inner), 2, axis=-1)
+    y = fused_cross_attention_block(
+        x.reshape(b, n, c), xn.reshape(b, n, c),
+        ap["to_q"]["kernel"].reshape(c, inner).astype(x.dtype),
+        k, v,
+        ap["to_out"]["kernel"].reshape(inner, c).astype(x.dtype),
+        ap["to_out"]["bias"].astype(x.dtype),
+        attn.heads, attn.dim_head, attn.dim_head, None,
+        mode == "interpret")
+    return y.reshape(b, H, W, c)
+
+
 def _fused_local_attention_residual(x, norm, attn, mode, training):
     """``x + LocalAttention(ChannelLN(x))`` through the fused attention
     block kernel with windows folded into the batch axis, or ``None`` when
@@ -231,12 +275,17 @@ class TwinsTransformer(nn.Module):
                 x = y if y is not None else x + attn(norm(x),
                                                      training=training)
                 x = self._conv_mlp(x, i, "ff1", training)
-            h = ChannelLayerNorm(self.dim, name=f"global_norm_{i}")(x)
-            h = GlobalAttention(self.dim, heads=self.heads,
-                                dim_head=self.dim_head, dropout=self.dropout,
-                                k=self.global_k, dtype=self.dtype,
-                                name=f"global_attn_{i}")(h, training=training)
-            x = x + h
+            norm = ChannelLayerNorm(self.dim, name=f"global_norm_{i}")
+            gattn = GlobalAttention(self.dim, heads=self.heads,
+                                    dim_head=self.dim_head,
+                                    dropout=self.dropout,
+                                    k=self.global_k, dtype=self.dtype,
+                                    name=f"global_attn_{i}")
+            y = (_fused_global_attention_residual(
+                    x, norm, gattn, self.fused_attention, training)
+                 if self.fused_attention != "never" else None)
+            x = y if y is not None else x + gattn(norm(x),
+                                                  training=training)
             x = self._conv_mlp(x, i, "ff2", training)
         return x
 
