@@ -259,7 +259,7 @@ def _fused_attention_tier(x, dropout: float, training: bool, dtype,
                           heads: int, dim_head: int, dim: int,
                           mode: str = "auto"):
     """Which fused-attention path applies to (b, n, d) activations:
-    ``False`` (XLA), ``"bmajor"`` (token-major blocks, 128 ≤ n ≤ 512), or
+    ``False`` (XLA), ``"bmajor"`` (token-major blocks, 128 ≤ n ≤ 1024), or
     ``"nmajor"`` (batch-in-sublane blocks for short sequences — the whole
     encoder runs transposed to (n, b, d); see fused_attention_block)."""
     from vit_tpu.ops.fused_attention_block import (
@@ -345,7 +345,7 @@ def windowed_attention_eligible(folded_shape, folded_dtype, dropout: float,
     """Gate for the windowed fused-attention path: ``folded_shape`` is the
     (groups, n_window, d) layout the caller will fold windows into.
 
-    Unlike the token-major gate (128 ≤ n ≤ 512), windows are tiny (49-196
+    Unlike the token-major gate (128 ≤ n ≤ 1024), windows are tiny (49-196
     tokens) but the group axis counts thousands of window×image pairs, so
     the kernel's batch-block grid stays fed.  The XLA alternative
     materializes f32 (groups·heads, n, n) score maps in HBM — measured 21
@@ -458,7 +458,7 @@ class Transformer(nn.Module):
     ``fused_mlp='never'`` opts out.
 
     ``fused_attention`` modes: ``"auto"`` (token-major fused attention
-    block in the measured 128 <= n <= 512 window, XLA elsewhere),
+    block in the measured 128 <= n <= 1024 window, XLA elsewhere),
     ``"hybrid"`` (additionally allows the batch-in-sublane short-sequence
     tier at n < 128 — measured NOT to pay at the B/32 headline shape, see
     ops/fused_hybrid.py), ``"interpret"`` (Pallas interpreter, tests),
