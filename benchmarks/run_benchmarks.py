@@ -285,11 +285,11 @@ def bench_model(name, model, image_size, batch, dtype, xplane=False):
     return row
 
 
-# Per-model batch caps (HBM): ScalableViT's stage-1 SSA holds 64×64-window
-# attention maps for the full 4096-token stage — batch 64 exhausts HBM on a
-# single v5e chip (measured).  Throughput is reported per image, so rows
-# stay comparable.
-_BATCH_OVERRIDES = {"scalable_vit": 16}
+# Per-model batch caps (HBM).  Round 2 capped scalable_vit at 16 (the
+# whole-map stage-1 IWSA materialized f32 (b, h, 4096, 4096) score maps);
+# the flash routing + fused SSA cross-attention block lifted that — the
+# standard batch 64 now fits.
+_BATCH_OVERRIDES = {}
 
 
 def main():
