@@ -19,6 +19,7 @@ from einops import rearrange
 from flax import linen as nn
 
 from vit_tpu.layers.common import ChannelLayerNorm, Conv, Dense, gelu_exact
+from vit_tpu.ops.attention import scaled_dot_product_attention
 
 
 class CvTDepthWiseConv2d(nn.Module):
@@ -71,16 +72,15 @@ class CvTAttention(nn.Module):
         k, v = jnp.split(kv, 2, axis=-1)
 
         q, k, v = map(
-            lambda t: rearrange(t, "b x y (h d) -> (b h) (x y) d", h=h),
+            lambda t: rearrange(t, "b x y (h d) -> b h (x y) d", h=h),
             (q, k, v),
         )
-        dots = jnp.einsum("bid,bjd->bij", q, k,
-                          preferred_element_type=jnp.float32)
-        dots = dots * (self.dim_head ** -0.5)
-        attn = jax.nn.softmax(dots, axis=-1)
-        out = jnp.einsum("bij,bjd->bid", attn.astype(v.dtype), v,
-                         preferred_element_type=jnp.float32).astype(x.dtype)
-        out = rearrange(out, "(b h) (x y) d -> b x y (h d)", h=h, y=y)
+        # flash dispatch at large n (stage-1 q is 3136 tokens @224 with
+        # stride-2-reduced k/v — the f32 (b, n, n_k) maps are the HBM
+        # bottleneck); small n / f32 keep the exact XLA parity math.
+        out = scaled_dot_product_attention(q, k, v,
+                                           scale=self.dim_head ** -0.5)
+        out = rearrange(out, "b h (x y) d -> b x y (h d)", y=y)
 
         out = Conv(self.dim, (1, 1), dtype=self.dtype, name="to_out")(out)
         out = nn.Dropout(self.dropout)(out, deterministic=not training)
