@@ -70,3 +70,18 @@ def test_metric_logger():
     logger.log(2, {"loss": jnp.asarray(1.2)})
     lines = [json.loads(l) for l in buf.getvalue().strip().splitlines()]
     assert lines[0]["loss"] == 1.5 and lines[1]["step"] == 2
+
+
+def test_enable_compile_cache(tmp_path):
+    import vit_tpu
+
+    prev = jax.config.jax_compilation_cache_dir
+    try:
+        target = str(tmp_path / "cache")
+        got = vit_tpu.enable_compile_cache(target)
+        assert got == target
+        assert jax.config.jax_compilation_cache_dir == target
+        import os as _os
+        assert _os.path.isdir(target)
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prev)

@@ -36,8 +36,29 @@ from vit_tpu.objectives.mae import MAE
 from vit_tpu.objectives.mpp import MPP
 from vit_tpu.objectives.simmim import SimMIM
 
+def enable_compile_cache(path: str = "~/.cache/vit_tpu_jax"):
+    """Turn on JAX's persistent compilation cache at ``path``.
+
+    The fused Pallas kernels cost one slow remote Mosaic compile per
+    distinct (shape, kernel) pair on first use (a cold hierarchical model
+    can take tens of minutes on a remote-compile TPU frontend); with the
+    cache every later process launch reuses them in seconds.  Call once
+    before any jit.  bench.py / benchmarks/run_benchmarks.py do the
+    equivalent with a repo-local cache dir.
+    """
+    import os
+
+    import jax
+
+    path = os.path.expanduser(path)
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    return path
+
+
 __all__ = [
-    "bind", "BoundModel", "cast_params",
+    "bind", "BoundModel", "cast_params", "enable_compile_cache",
     "ViT", "DeepViT", "CaiT", "CrossViT", "SPT", "LSA", "PatchMerger",
     "T2TViT", "PiT", "CCT", "LeViT", "CvT", "TwinsSVT", "CrossFormer",
     "RegionViT", "ScalableViT", "NesT", "MobileViT",
