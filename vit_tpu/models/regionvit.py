@@ -37,6 +37,14 @@ def _fused_region_attention_residual(x, attn, mode, training,
                                                    fused_attention_block_bias)
 
     G, n, c = x.shape
+    # Keep the fused path to the big-group stages (G >= 128): RegionViT's
+    # whole-train-step module otherwise embeds 10 Mosaic kernels across its
+    # 4 stages and the remote tpu_compile_helper is OOM-killed compiling it
+    # (each kernel compiles fine alone — the d=512 stage-4 one alone costs
+    # 469 s; the aggregate module is what dies).  The dropped stages are
+    # the small-batch ones (64 groups) where the kernel win is marginal.
+    if G < 128:
+        return None
     if not windowed_attention_eligible((G, n, c), x.dtype, attn.dropout,
                                        training, attn.dtype, mode):
         return None

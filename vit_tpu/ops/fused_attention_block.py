@@ -138,11 +138,17 @@ def _fwd_kernel(x_ref, g_ref, b_ref, wqkv_ref, wo_ref, bo_ref,
             # pad keys out of every softmax row.
             col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
             s = jnp.where(col < n_valid, s, -1e30)
-        p = _softmax(s).astype(x.dtype)
+        # Late-divide softmax: normalize AFTER the p@v dot — the divide
+        # then touches (bb, n, dh) instead of the lane-padded (bb, n, n)
+        # probability matrix (dh=64 vs n_lane=256 at B/16: 4x less VPU
+        # divide work, identical math up to rounding).
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        denom = jnp.sum(e, axis=-1, keepdims=True)
         o = jax.lax.dot_general(
-            p, v, (((2,), (1,)), ((0,), (0,))),
+            e.astype(x.dtype), v, (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)
-        outs.append(o.astype(x.dtype))
+        outs.append((o / denom).astype(x.dtype))
     oattn = jnp.concatenate(outs, axis=-1)  # (bb, n, inner)
     if oattn_ref is not None:
         oattn_ref[:] = oattn
