@@ -76,7 +76,12 @@ def _batch_per_program(n: int, dmodel: int, inner: int, itemsize: int,
 
     Short windows (n < 128, e.g. 49-token local-attention windows folded
     into the batch dim) raise the cap: per-window work is tiny, and the
-    batch axis there counts thousands of window×image groups."""
+    batch axis there counts thousands of window×image groups.  The window
+    cap is 32, not more: Mosaic unrolls the per-head batched attention
+    dots bb times, so compile cost/memory grows ~linearly with bb while
+    runtime is flat (measured at the (4096, 56, 64) regionvit shape:
+    bb=32 4.87 ms vs bb=128 5.00 ms fwd+bwd device time; the remote
+    compile helper is OOM-killed on multi-kernel modules at bb=128)."""
     n_p = _roundup(n, 16)
     n_lane = _roundup(n, 128)
     weights = 2 * (dmodel * 3 * inner + inner * dmodel) * itemsize  # +transposed
@@ -84,7 +89,7 @@ def _batch_per_program(n: int, dmodel: int, inner: int, itemsize: int,
         + (6 if bwd else 2) * n_p * n_lane * 4
     budget = 48 * 1024 * 1024 - weights
     bb = max(1, budget // max(per_img, 1))
-    bb = int(min(bb, 128 if n < 128 else 16))
+    bb = int(min(bb, 32 if n < 128 else 16))
     if b is not None and b > bb:
         for cand in range(bb, 0, -1):
             if b % cand == 0:
