@@ -45,8 +45,16 @@ def main():
                 f"| {r['model']} | {r['image_size']} | {r['batch']} | "
                 f"{r['train_images_per_sec_per_chip']:.0f} |")
     out = os.path.join(here, "BENCHMARKS.md")
+    # Preserve the prose sections (method notes, ceilings, compile-time
+    # story) — everything from the first "## " heading onward.
+    tail = ""
+    if os.path.exists(out):
+        old = open(out).read()
+        idx = old.find("\n## ")
+        if idx != -1:
+            tail = old[idx:]
     with open(out, "w") as f:
-        f.write("\n".join(lines) + "\n")
+        f.write("\n".join(lines) + "\n" + tail)
     print(out)
 
 
