@@ -188,3 +188,35 @@ def test_small_n_large_group_batch():
     y = fused_attention_block(*args, heads, dh, None, 1e-5, True)
     yr = _ref(*args, heads, dh, eps=1e-5)
     assert jnp.max(jnp.abs(y - yr)) < 1e-5
+
+
+def test_window_batch_block_cap():
+    """The n<128 batch-block cap is 32: Mosaic unrolls the per-head batched
+    attention dots per image, so compile memory grows ~linearly with bb and
+    the remote compile helper is OOM-killed on multi-kernel modules above
+    this (regionvit train at the old cap of 128 — ROUND3_NOTES).  Runtime
+    measured flat in bb (4.87 ms @32 vs 5.00 @128 at (4096, 56, 64))."""
+    from vit_tpu.ops.fused_attention_block import _batch_per_program
+
+    assert _batch_per_program(56, 64, 128, 2, bwd=True, b=4096) <= 32
+    assert _batch_per_program(56, 512, 128, 2, bwd=True, b=64) <= 32
+    # token-major tier unchanged
+    assert _batch_per_program(256, 768, 768, 2, bwd=False, b=64) <= 16
+
+
+def test_regionvit_fused_gate_small_groups():
+    """RegionViT skips the fused path below 128 groups (the whole-module
+    compile-helper OOM fix): the model still runs and matches itself with
+    fused_attention='never' on CPU (where kernels are unavailable anyway,
+    the gate must simply not error)."""
+    import numpy as np
+
+    from vit_tpu import RegionViT
+
+    model = RegionViT(dim=(32, 32, 32, 32), depth=(1, 1, 1, 1),
+                      window_size=2, local_patch_size=4, num_classes=7)
+    img = jax.random.normal(jax.random.PRNGKey(0), (2, 32, 32, 3))
+    params = model.init(jax.random.PRNGKey(1), img)
+    out = model.apply(params, img)
+    assert out.shape == (2, 7)
+    assert bool(jnp.all(jnp.isfinite(out)))
