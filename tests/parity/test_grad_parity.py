@@ -426,3 +426,160 @@ def test_t2t_grad_parity(tf):
     for jg, tg in zip(jax_gs, tf_gs[1:]):
         np.testing.assert_allclose(np.asarray(jg), np.asarray(tg),
                                    atol=2e-5, rtol=1e-3)
+
+
+def test_twins_svt_grad_parity(tf):
+    """Windowed local attention (windows folded to batch), conv-reduced
+    global k/v, PEG depthwise conv and conv-MLPs, leaf-for-leaf vs
+    tf.GradientTape (reference twins_svt.py:117-190, 108-115)."""
+    import twins_svt as ref
+
+    from vit_tpu.models.twins_svt import TwinsSVT
+
+    cfg = dict(num_classes=7,
+               s1_emb_dim=32, s1_patch_size=4, s1_local_patch_size=4,
+               s1_global_k=4, s1_depth=1,
+               s2_emb_dim=48, s2_patch_size=2, s2_local_patch_size=4,
+               s2_global_k=4, s2_depth=1,
+               s3_emb_dim=64, s3_patch_size=2, s3_local_patch_size=2,
+               s3_global_k=2, s3_depth=2,
+               s4_emb_dim=96, s4_patch_size=2, s4_local_patch_size=2,
+               s4_global_k=2, s4_depth=1)
+    img = np.random.RandomState(21).randn(2, 128, 128, 3).astype(np.float32)
+
+    tfm = ref.TwinsSVT(**cfg)
+    tfm(tf.constant(img), training=False)  # build
+    ours = TwinsSVT(**cfg)
+    variables = ours.init(jax.random.PRNGKey(0), jnp.asarray(img))
+    variables = tf_weights.transplant_twins_svt(tfm, variables)
+
+    s1 = tfm.svt_layers.layers[0]
+    s3 = tfm.svt_layers.layers[2]
+    local0 = s1.layers[1].layers[0][0].fn.fn     # Residual(PreNorm(Local))
+    global0 = s3.layers[3].layers[0][2].fn.fn    # Residual(PreNorm(Global))
+    tf_vars = [
+        s1.layers[0].proj.kernel,                # patch-merge embed conv
+        local0.to_q.kernel,                      # windowed local attention
+        s1.layers[2].proj.fn.kernel,             # PEG depthwise conv
+        global0.to_kv.kernel,                    # conv-reduced global k/v
+        tfm.svt_layers.layers[4].layers[1].kernel,  # head
+    ]
+    tf_gs = _tf_grads(tf, tfm, img, tf_vars)
+
+    jg_v, jg_img = _jax_grads(ours, variables, img)
+    p = jg_v["params"]
+    jax_gs = [
+        p["s1_embed"]["proj"]["kernel"],
+        p["s1_pre_transformer"]["local_attn_0"]["to_q"]["kernel"],
+        p["s1_peg"]["proj"]["kernel"],
+        p["s3_transformer"]["global_attn_0"]["to_kv"]["kernel"],
+        p["head"]["kernel"],
+    ]
+    np.testing.assert_allclose(np.asarray(jg_img), np.asarray(tf_gs[0]),
+                               atol=2e-5, rtol=1e-3)
+    for jg, tg in zip(jax_gs, tf_gs[1:]):
+        np.testing.assert_allclose(np.asarray(jg), np.asarray(tg),
+                                   atol=2e-5, rtol=1e-3)
+
+
+def test_regionvit_grad_parity(tf):
+    """Region + local two-stream attention with the zero-padded relative
+    position bias Embedding (reference regionvit.py:118-182, 143-155):
+    gradients must flow into both tokenizer convs, the joint-attention
+    qkv and the bias table."""
+    import regionvit as ref
+
+    from vit_tpu.models.regionvit import RegionViT
+
+    cfg = dict(dim=(32, 48, 64, 96), depth=(1, 1, 2, 1), window_size=4,
+               num_classes=7, local_patch_size=4)
+    img = np.random.RandomState(22).randn(2, 128, 128, 3).astype(np.float32)
+
+    tfm = ref.RegionViT(**cfg)
+    tfm(tf.constant(img), training=False)  # build
+    ours = RegionViT(**cfg)
+    variables = ours.init(jax.random.PRNGKey(0), jnp.asarray(img))
+    variables = tf_weights.transplant_regionvit(tfm, variables)
+
+    tr0 = tfm.region_layers[0][2]
+    tf_vars = [
+        tfm.local_encoder.kernel,                # local tokenizer conv
+        tfm.region_encoder.layers[1].kernel,     # region tokenizer conv
+        tr0.layers[0][0].to_qkv.kernel,          # joint attention qkv
+        tr0.local_rel_pos_bias.embeddings,       # rel-pos bias table
+        tfm.to_logits.layers[2].kernel,          # head
+    ]
+    tf_gs = _tf_grads(tf, tfm, img, tf_vars)
+    # Embedding grads come back as IndexedSlices — densify for comparison.
+    tf_gs = [tf.convert_to_tensor(g) if g is not None else None
+             for g in tf_gs]
+
+    jg_v, jg_img = _jax_grads(ours, variables, img)
+    p = jg_v["params"]
+    jax_gs = [
+        p["local_encoder"]["kernel"],
+        p["region_encoder"]["kernel"],
+        p["transformer_0"]["attn_0"]["to_qkv"]["kernel"],
+        p["transformer_0"]["local_rel_pos_bias"]["embedding"],
+        p["head"]["kernel"],
+    ]
+    np.testing.assert_allclose(np.asarray(jg_img), np.asarray(tf_gs[0]),
+                               atol=2e-5, rtol=1e-3)
+    for jg, tg in zip(jax_gs, tf_gs[1:]):
+        np.testing.assert_allclose(np.asarray(jg), np.asarray(tg),
+                                   atol=2e-5, rtol=1e-3)
+
+
+def test_nest_grad_parity(tf):
+    """Block-folded attention + per-stage additive pos-emb + the
+    conv/LayerNorm/maxpool Aggregate (reference nest.py:111-142):
+    leaf-for-leaf vs tf.GradientTape."""
+    import nest as ref
+
+    from vit_tpu.models.nest import NesT
+
+    # Keras 3 rejects uppercase padding in MaxPool2D (nest.py:118).
+    real = tf.keras.layers.MaxPool2D
+
+    def MaxPool2D(pool_size=(2, 2), strides=None, padding="valid", **kw):
+        if isinstance(padding, str):
+            padding = padding.lower()
+        return real(pool_size=pool_size, strides=strides, padding=padding,
+                    **kw)
+
+    ref.nn.MaxPool2D = MaxPool2D
+
+    cfg = dict(image_size=64, patch_size=4, num_classes=7, dim=32, heads=2,
+               num_hierarchies=3, block_repeats=(1, 1, 2))
+    img = np.random.RandomState(23).randn(2, 64, 64, 3).astype(np.float32)
+
+    tfm = ref.NesT(**cfg)
+    tfm(tf.constant(img), training=False)  # build
+    ours = NesT(**cfg)
+    variables = ours.init(jax.random.PRNGKey(0), jnp.asarray(img))
+    variables = tf_weights.transplant_nest(tfm, variables)
+
+    tr0, agg0 = tfm.nest_layers[0]
+    tf_vars = [
+        tfm.patch_embedding.layers[1].kernel,    # patchify conv
+        tr0.pos_emb,                             # per-stage pos-emb
+        tr0.layers[0][0].fn.to_qkv.kernel,       # block attention qkv
+        agg0.ag_layers.layers[0].kernel,         # aggregate conv
+        tfm.mlp_head.layers[2].kernel,           # head
+    ]
+    tf_gs = _tf_grads(tf, tfm, img, tf_vars)
+
+    jg_v, jg_img = _jax_grads(ours, variables, img)
+    p = jg_v["params"]
+    jax_gs = [
+        p["patch_embedding"]["kernel"],
+        p["transformer_0"]["pos_emb"],
+        p["transformer_0"]["attn_0"]["to_qkv"]["kernel"],
+        p["aggregate_conv_0"]["kernel"],
+        p["head"]["kernel"],
+    ]
+    np.testing.assert_allclose(np.asarray(jg_img), np.asarray(tf_gs[0]),
+                               atol=2e-5, rtol=1e-3)
+    for jg, tg in zip(jax_gs, tf_gs[1:]):
+        np.testing.assert_allclose(np.asarray(jg), np.asarray(tg),
+                                   atol=2e-5, rtol=1e-3)
