@@ -583,3 +583,111 @@ def test_nest_grad_parity(tf):
     for jg, tg in zip(jax_gs, tf_gs[1:]):
         np.testing.assert_allclose(np.asarray(jg), np.asarray(tg),
                                    atol=2e-5, rtol=1e-3)
+
+
+def test_pit_grad_parity(tf):
+    """Overlapping-patch unfold tokenizer + the depthwise-conv token
+    pooling that doubles dim between stages — §8.4-patched reference (the
+    upstream PiT never pools; the patch rebuilds transformer_layers with
+    working Pool blocks, reference pit.py:140-156, 194)."""
+    import pit as ref
+
+    from vit_tpu.models.pit import PiT
+
+    cfg = dict(image_size=64, patch_size=8, num_classes=9, dim=32,
+               depth=(1, 1, 1), heads=2, mlp_dim=64, dim_head=16)
+    img = np.random.RandomState(24).randn(2, 64, 64, 3).astype(np.float32)
+
+    tfm = ref.PiT(**cfg)
+    # Patch §8.4: rebuild transformer_layers with working pooling.
+    seq = tf.keras.Sequential()
+    dim = cfg["dim"]
+    heads = ref.cast_tuple(cfg["heads"], len(cfg["depth"]))
+    for ind, (layer_depth, layer_heads) in enumerate(zip(cfg["depth"], heads)):
+        seq.add(ref.Transformer(dim, layer_depth, layer_heads,
+                                cfg["dim_head"], cfg["mlp_dim"], 0.0))
+        if ind < len(cfg["depth"]) - 1:
+            seq.add(ref.Pool(dim))
+            dim *= 2
+    tfm.transformer_layers = seq
+    tfm(tf.constant(img), training=False)  # build
+
+    ours = PiT(**cfg)
+    variables = ours.init(jax.random.PRNGKey(0), jnp.asarray(img))
+    variables = tf_weights.transplant_pit(tfm, variables)
+
+    pool0 = tfm.transformer_layers.layers[1]
+    tf_vars = [
+        tfm.patch_embedding.layers[1].kernel,        # unfold tokenizer Dense
+        tfm.pos_embedding,
+        pool0.cls_ff.kernel,                         # pool CLS projection
+        pool0.downsample.net.layers[0].kernel,       # depthwise pooling conv
+        tfm.mlp_head.layers[1].kernel,               # head
+    ]
+    tf_gs = _tf_grads(tf, tfm, img, tf_vars)
+
+    jg_v, jg_img = _jax_grads(ours, variables, img)
+    p = jg_v["params"]
+    jax_gs = [
+        p["patch_embedding"]["kernel"],
+        p["pos_embedding"],
+        p["pool_0"]["cls_ff"]["kernel"],
+        p["pool_0"]["downsample_grouped"]["kernel"],
+        p["head"]["kernel"],
+    ]
+    np.testing.assert_allclose(np.asarray(jg_img), np.asarray(tf_gs[0]),
+                               atol=2e-5, rtol=1e-3)
+    for jg, tg in zip(jax_gs, tf_gs[1:]):
+        np.testing.assert_allclose(np.asarray(jg), np.asarray(tg),
+                                   atol=2e-5, rtol=1e-3)
+
+
+def test_cvt_grad_parity(tf):
+    """Depthwise-conv q/k/v projections with BatchNorm inside the attention
+    (reference cvt.py:94-127): gradients through the BN-eval path, the
+    strided k/v convs and the conv-MLPs, leaf-for-leaf."""
+    import cvt as ref
+
+    from vit_tpu.models.cvt import CvT
+
+    cfg = dict(num_classes=11, s1_emb_dim=32, s1_heads=1, s1_depth=1,
+               s2_emb_dim=48, s2_heads=2, s2_depth=1,
+               s3_emb_dim=64, s3_heads=2, s3_depth=2)
+    img = np.random.RandomState(25).randn(2, 64, 64, 3).astype(np.float32)
+
+    tfm = ref.CvT(**cfg)
+    tfm(tf.constant(img), training=False)  # build
+    ours = CvT(**cfg)
+    variables = ours.init(jax.random.PRNGKey(0), jnp.asarray(img))
+    variables = tf_weights.transplant_cvt(tfm, variables)
+
+    s1_tr = tfm.cvt_layers.layers[0].layers[2]
+    attn0 = s1_tr.layers[0][0].fn
+    tf_vars = [
+        tfm.cvt_layers.layers[0].layers[0].kernel,   # s1 conv embed
+        attn0.to_q.net.layers[0].kernel,             # depthwise q conv
+        attn0.to_kv.net.layers[2].kernel,            # pointwise kv conv
+        attn0.to_out.layers[0].kernel,               # out 1x1 conv
+        tfm.cvt_layers.layers[3].layers[1].kernel,   # head
+    ]
+    tf_gs = _tf_grads(tf, tfm, img, tf_vars)
+
+    def loss_fn(v, x):
+        out = ours.apply(v, x)  # eval mode: running BN stats, like TF
+        return jnp.mean(out ** 2)
+
+    jg_v, jg_img = jax.grad(loss_fn, argnums=(0, 1))(
+        jax.tree.map(jnp.asarray, variables), jnp.asarray(img))
+    p = jg_v["params"]
+    jax_gs = [
+        p["s1_emb"]["kernel"],
+        p["s1_transformer"]["attn_0"]["to_q"]["depthwise"]["kernel"],
+        p["s1_transformer"]["attn_0"]["to_kv"]["pointwise"]["kernel"],
+        p["s1_transformer"]["attn_0"]["to_out"]["kernel"],
+        p["head"]["kernel"],
+    ]
+    np.testing.assert_allclose(np.asarray(jg_img), np.asarray(tf_gs[0]),
+                               atol=2e-5, rtol=1e-3)
+    for jg, tg in zip(jax_gs, tf_gs[1:]):
+        np.testing.assert_allclose(np.asarray(jg), np.asarray(tg),
+                                   atol=2e-5, rtol=1e-3)
