@@ -691,3 +691,359 @@ def test_cvt_grad_parity(tf):
     for jg, tg in zip(jax_gs, tf_gs[1:]):
         np.testing.assert_allclose(np.asarray(jg), np.asarray(tg),
                                    atol=2e-5, rtol=1e-3)
+
+
+def test_deepvit_grad_parity(tf):
+    """Re-attention: the learned heads×heads mix of the post-softmax
+    attention matrix and its LayerNorm-over-heads (reference
+    deepvit.py:57-63, 82-84) — gradients through a materialized attention
+    matrix transform."""
+    import deepvit as ref
+
+    from vit_tpu.models.deepvit import DeepViT
+
+    cfg = dict(image_size=48, patch_size=16, num_classes=21,
+               dim=64, depth=2, heads=4, mlp_dim=128, dim_head=16)
+    img = np.random.RandomState(26).randn(2, 48, 48, 3).astype(np.float32)
+
+    tfm = ref.DeepViT(**cfg)
+    tfm(tf.constant(img), training=False)  # build
+    ours = DeepViT(**cfg)
+    variables = ours.init(jax.random.PRNGKey(0), jnp.asarray(img))
+    variables = tf_weights.transplant_deepvit(tfm, variables)
+
+    attn0 = tfm.transformer.layers[0][0].fn
+    tf_vars = [
+        tfm.patch_embedding.layers[1].kernel,
+        attn0.reattn_weights,                  # the head mix itself
+        attn0.reattn_norm.layers[1].gamma,     # LN over heads
+        attn0.to_qkv.kernel,
+        tfm.mlp_head.layers[1].kernel,
+    ]
+    tf_gs = _tf_grads(tf, tfm, img, tf_vars)
+
+    jg_v, jg_img = _jax_grads(ours, variables, img)
+    p = jg_v["params"]
+    jax_gs = [
+        p["patch_embedding"]["kernel"],
+        p["attn_0"]["reattn_weights"],
+        p["attn_0"]["reattn_norm"]["scale"],
+        p["attn_0"]["to_qkv"]["kernel"],
+        p["head"]["kernel"],
+    ]
+    np.testing.assert_allclose(np.asarray(jg_img), np.asarray(tf_gs[0]),
+                               atol=2e-5, rtol=1e-3)
+    for jg, tg in zip(jax_gs, tf_gs[1:]):
+        np.testing.assert_allclose(np.asarray(jg), np.asarray(tg),
+                                   atol=2e-5, rtol=1e-3)
+
+
+def test_parallel_vit_grad_parity(tf):
+    """Summed parallel attention/MLP branches (reference
+    parallel_vit.py:36-42): each branch must receive its own gradient."""
+    import parallel_vit as ref
+
+    from vit_tpu.models import parallel_vit
+
+    cfg = dict(image_size=48, patch_size=16, num_classes=12, dim=64,
+               depth=2, heads=2, mlp_dim=128, num_parallel_branches=2,
+               dim_head=32)
+    img = np.random.RandomState(27).randn(2, 48, 48, 3).astype(np.float32)
+
+    tfm = ref.ViT(**cfg)
+    tfm(tf.constant(img), training=False)  # build
+    ours = parallel_vit.ViT(**cfg)
+    variables = ours.init(jax.random.PRNGKey(0), jnp.asarray(img))
+    variables = tf_weights.transplant_parallel_vit(tfm, variables)
+
+    par_attn0, par_mlp0 = tfm.transformer.layers[0]
+    tf_vars = [
+        tfm.pos_embedding,
+        par_attn0.fns[0].fn.to_qkv.kernel,      # branch 0
+        par_attn0.fns[1].fn.to_qkv.kernel,      # branch 1
+        par_mlp0.fns[1].fn.net.layers[0].kernel,
+        tfm.mlp_head.layers[1].kernel,
+    ]
+    tf_gs = _tf_grads(tf, tfm, img, tf_vars)
+
+    jg_v, jg_img = _jax_grads(ours, variables, img)
+    p = jg_v["params"]
+    jax_gs = [
+        p["pos_embedding"],
+        p["attn_0_0"]["to_qkv"]["kernel"],
+        p["attn_0_1"]["to_qkv"]["kernel"],
+        p["mlp_0_1"]["fc1"]["kernel"],
+        p["head"]["kernel"],
+    ]
+    np.testing.assert_allclose(np.asarray(jg_img), np.asarray(tf_gs[0]),
+                               atol=2e-5, rtol=1e-3)
+    for jg, tg in zip(jax_gs, tf_gs[1:]):
+        np.testing.assert_allclose(np.asarray(jg), np.asarray(tg),
+                                   atol=2e-5, rtol=1e-3)
+
+
+def test_efficient_vit_grad_parity(tf):
+    """The injectable-encoder shell (reference efficient.py:13-55):
+    gradients flow through the injected Transformer object."""
+    import efficient as ref
+    import vit as ref_vit
+
+    from vit_tpu.layers.common import Transformer
+    from vit_tpu.models import efficient
+
+    img = np.random.RandomState(28).randn(2, 48, 48, 3).astype(np.float32)
+    tf_encoder = ref_vit.Transformer(dim=64, depth=2, heads=2,
+                                     dim_head=32, mlp_dim=128)
+    tfm = ref.ViT(image_size=48, patch_size=16, num_classes=9, dim=64,
+                  transformer=tf_encoder)
+    tfm(tf.constant(img), training=False)  # build
+
+    encoder = Transformer(dim=64, depth=2, heads=2, dim_head=32, mlp_dim=128)
+    ours = efficient.ViT(image_size=48, patch_size=16, num_classes=9,
+                         dim=64, transformer=encoder)
+    variables = ours.init(jax.random.PRNGKey(0), jnp.asarray(img))
+    variables = tf_weights.transplant_efficient_vit(tfm, variables)
+
+    tf_vars = [
+        tfm.patch_embedding.layers[1].kernel,
+        tf_encoder.layers[0][0].fn.to_qkv.kernel,
+        tf_encoder.layers[1][1].fn.net.layers[3].kernel,
+        tfm.mlp_head.layers[1].kernel,
+    ]
+    tf_gs = _tf_grads(tf, tfm, img, tf_vars)
+
+    jg_v, jg_img = _jax_grads(ours, variables, img)
+    p = jg_v["params"]
+    jax_gs = [
+        p["patch_embedding"]["kernel"],
+        p["transformer"]["attn_0"]["to_qkv"]["kernel"],
+        p["transformer"]["mlp_1"]["fc2"]["kernel"],
+        p["head"]["kernel"],
+    ]
+    np.testing.assert_allclose(np.asarray(jg_img), np.asarray(tf_gs[0]),
+                               atol=2e-5, rtol=1e-3)
+    for jg, tg in zip(jax_gs, tf_gs[1:]):
+        np.testing.assert_allclose(np.asarray(jg), np.asarray(tg),
+                                   atol=2e-5, rtol=1e-3)
+
+
+def test_small_dataset_vit_grad_parity(tf):
+    """SPT (shifted-patch tokenization LN+Dense) and LSA (learnable
+    log-temperature + diagonal self-mask, reference
+    vit_for_small_dataset.py:88-121): the temperature gradient is the
+    interesting leaf — it only exists if the masked softmax backward
+    matches."""
+    import vit_for_small_dataset as ref
+
+    from vit_tpu.models import vit_for_small_dataset
+
+    cfg = dict(image_size=48, patch_size=16, num_classes=19,
+               dim=64, depth=2, heads=4, mlp_dim=128, dim_head=16)
+    img = np.random.RandomState(29).randn(2, 48, 48, 3).astype(np.float32)
+
+    tfm = ref.ViT(**cfg)
+    tfm(tf.constant(img), training=False)  # build
+    ours = vit_for_small_dataset.ViT(**cfg)
+    variables = ours.init(jax.random.PRNGKey(0), jnp.asarray(img))
+    variables = tf_weights.transplant_small_dataset_vit(tfm, variables)
+
+    attn0 = tfm.transformer.layers[0][0].fn
+    tf_vars = [
+        tfm.patch_embedding.to_patch_tokens.layers[2].kernel,  # SPT Dense
+        attn0.temperature,                                     # LSA temp
+        attn0.to_qkv.kernel,
+        tfm.mlp_head.layers[1].kernel,
+    ]
+    tf_gs = _tf_grads(tf, tfm, img, tf_vars)
+
+    jg_v, jg_img = _jax_grads(ours, variables, img)
+    p = jg_v["params"]
+    jax_gs = [
+        p["patch_embedding"]["proj"]["kernel"],
+        p["attn_0"]["temperature"],
+        p["attn_0"]["to_qkv"]["kernel"],
+        p["head"]["kernel"],
+    ]
+    np.testing.assert_allclose(np.asarray(jg_img), np.asarray(tf_gs[0]),
+                               atol=2e-5, rtol=1e-3)
+    for jg, tg in zip(jax_gs, tf_gs[1:]):
+        np.testing.assert_allclose(np.asarray(jg), np.asarray(tg),
+                                   atol=2e-5, rtol=1e-3)
+
+
+def test_patch_merger_vit_grad_parity(tf):
+    """PatchMerger learned-query cross-attention token reduction (reference
+    vit_with_patch_merger.py:42-55): gradients into the merger queries and
+    through the token-count discontinuity."""
+    import vit_with_patch_merger as ref
+
+    from vit_tpu.models import vit_with_patch_merger
+
+    cfg = dict(image_size=48, patch_size=16, num_classes=23, dim=64,
+               depth=4, heads=4, mlp_dim=128, patch_merge_layer=2,
+               patch_merge_num_tokens=4, dim_head=16)
+    img = np.random.RandomState(30).randn(2, 48, 48, 3).astype(np.float32)
+
+    tfm = ref.ViT(**cfg)
+    tfm(tf.constant(img), training=False)  # build
+    ours = vit_with_patch_merger.ViT(**cfg)
+    variables = ours.init(jax.random.PRNGKey(0), jnp.asarray(img))
+    variables = tf_weights.transplant_patch_merger_vit(tfm, variables)
+
+    tr = tfm.transformer
+    tf_vars = [
+        tfm.patch_embedding.layers[1].kernel,
+        tr.patch_merger.queries,
+        tr.patch_merger.norm.gamma,
+        tr.layers[3][0].fn.to_qkv.kernel,   # post-merge layer
+        tfm.mlp_head.layers[2].kernel,
+    ]
+    tf_gs = _tf_grads(tf, tfm, img, tf_vars)
+
+    jg_v, jg_img = _jax_grads(ours, variables, img)
+    p = jg_v["params"]
+    jax_gs = [
+        p["patch_embedding"]["kernel"],
+        p["patch_merger"]["queries"],
+        p["patch_merger"]["norm"]["scale"],
+        p["attn_3"]["to_qkv"]["kernel"],
+        p["head"]["kernel"],
+    ]
+    np.testing.assert_allclose(np.asarray(jg_img), np.asarray(tf_gs[0]),
+                               atol=2e-5, rtol=1e-3)
+    for jg, tg in zip(jax_gs, tf_gs[1:]):
+        np.testing.assert_allclose(np.asarray(jg), np.asarray(tg),
+                                   atol=2e-5, rtol=1e-3)
+
+
+def test_cct_grad_parity(tf):
+    """Conv tokenizer + seq-pool attention head (reference cct.py:176-215,
+    293-299), DropPath inactive in eval: gradients through the
+    attention-pool softmax weighting."""
+    import cct as ref
+
+    from vit_tpu.models import cct as ours_mod
+
+    # Keras 3 rejects uppercase padding in MaxPool2D (cct.py:200).
+    real = tf.keras.layers.MaxPool2D
+
+    def MaxPool2D(pool_size=(2, 2), strides=None, padding="valid", **kw):
+        if isinstance(padding, str):
+            padding = padding.lower()
+        return real(pool_size=pool_size, strides=strides, padding=padding,
+                    **kw)
+
+    ref.nn.MaxPool2D = MaxPool2D
+
+    cfg = dict(img_size=64, embedding_dim=64, n_conv_layers=2, kernel_size=3,
+               stride=1, num_layers=2, num_heads=2, mlp_ratio=1.0,
+               num_classes=13, positional_embedding="learnable")
+    img = np.random.RandomState(31).randn(2, 64, 64, 3).astype(np.float32)
+
+    tfm = ref.CCT(**cfg)
+    tfm(tf.constant(img), training=False)  # build
+    ours = ours_mod.CCT(**cfg)
+    variables = ours.init(jax.random.PRNGKey(0), jnp.asarray(img))
+    variables = tf_weights.transplant_cct(tfm, variables)
+
+    clf = tfm.classifier
+    conv0 = next(l for l in tfm.tokenizer.conv_layers.layers
+                 if hasattr(l, "kernel"))
+    tf_vars = [
+        conv0.kernel,                                 # tokenizer conv
+        clf.positional_emb,                           # learnable pos-emb
+        clf.attention_pool.kernel,                    # seq-pool head
+        clf.blocks.layers[0].self_attn.to_qkv.kernel,
+        clf.fc.kernel,
+    ]
+    tf_gs = _tf_grads(tf, tfm, img, tf_vars)
+
+    jg_v, jg_img = _jax_grads(ours, variables, img)
+    p = jg_v["params"]
+    jax_gs = [
+        p["conv_0"]["kernel"],
+        p["positional_emb"],
+        p["attention_pool"]["kernel"],
+        p["block_0"]["self_attn"]["to_qkv"]["kernel"],
+        p["fc"]["kernel"],
+    ]
+    np.testing.assert_allclose(np.asarray(jg_img), np.asarray(tf_gs[0]),
+                               atol=2e-5, rtol=1e-3)
+    for jg, tg in zip(jax_gs, tf_gs[1:]):
+        np.testing.assert_allclose(np.asarray(jg), np.asarray(tg),
+                                   atol=2e-5, rtol=1e-3)
+
+
+def test_cross_vit_grad_parity(tf):
+    """Bidirectional CLS↔patch cross-attention with dim projection in/out
+    (reference cross_vit.py:118-163): gradients into both branch encoders,
+    the projection Denses and both heads.  Keras-3 patches as in
+    test_cross_vit_parity (kv_include_self routed via context presence)."""
+    import cross_vit as ref
+
+    from vit_tpu.models import cross_vit
+
+    _orig_attn_call = ref.Attention.call
+
+    def _attn_call(self, x, context=None, kv_include_self=False,
+                   training=True):
+        return _orig_attn_call(self, x, context=context,
+                               kv_include_self=context is not None,
+                               training=training)
+
+    def _cross_call(self, inputs, training=True):
+        sm_tokens, lg_tokens = inputs
+        (sm_cls, sm_patch), (lg_cls, lg_patch) = map(
+            lambda t: (t[:, :1], t[:, 1:]), (sm_tokens, lg_tokens))
+        for sm_attend_lg, lg_attend_sm in self.layers:
+            sm_cls = sm_attend_lg(sm_cls, context=lg_patch,
+                                  training=training) + sm_cls
+            lg_cls = lg_attend_sm(lg_cls, context=sm_patch,
+                                  training=training) + lg_cls
+        return (tf.concat([sm_cls, sm_patch], axis=1),
+                tf.concat([lg_cls, lg_patch], axis=1))
+
+    ref.Attention.call = _attn_call
+    ref.CrossTransformer.call = _cross_call
+
+    cfg = dict(image_size=48, num_classes=13, sm_dim=48, lg_dim=64,
+               sm_patch_size=8, lg_patch_size=16, sm_enc_depth=1,
+               lg_enc_depth=2, sm_enc_mlp_dim=96, lg_enc_mlp_dim=128,
+               sm_enc_heads=2, lg_enc_heads=2, sm_enc_dim_head=16,
+               lg_enc_dim_head=16, cross_attn_depth=2, cross_attn_heads=2,
+               cross_attn_dim_head=16, depth=2, dropout=0.0, emb_dropout=0.0)
+    img = np.random.RandomState(32).randn(2, 48, 48, 3).astype(np.float32)
+
+    tfm = ref.CrossViT(**cfg)
+    tfm(tf.constant(img), training=False)  # build
+    ours = cross_vit.CrossViT(**cfg)
+    variables = ours.init(jax.random.PRNGKey(0), jnp.asarray(img))
+    variables = tf_weights.transplant_cross_vit(tfm, variables)
+
+    sm_enc0, lg_enc0, cross0 = tfm.multi_scale_encoder.layers[0]
+    sm_attend_lg = cross0.layers[0][0]
+    tf_vars = [
+        tfm.sm_image_embedder.patch_embedding.layers[1].kernel,
+        sm_enc0.layers[0][0].fn.to_q.kernel,     # sm branch encoder
+        sm_attend_lg.project_in.kernel,          # dim projection
+        sm_attend_lg.fn.fn.to_q.kernel,          # cross-attention q
+        tfm.sm_mlp_head.layers[1].kernel,
+        tfm.lg_mlp_head.layers[1].kernel,
+    ]
+    tf_gs = _tf_grads(tf, tfm, img, tf_vars)
+
+    jg_v, jg_img = _jax_grads(ours, variables, img)
+    p = jg_v["params"]
+    jax_gs = [
+        p["sm_image_embedder"]["patch_embedding"]["kernel"],
+        p["sm_enc_0"]["attn_0"]["to_q"]["kernel"],
+        p["cross_attend_0"]["sm_project_in_0"]["kernel"],
+        p["cross_attend_0"]["sm_attend_lg_0"]["to_q"]["kernel"],
+        p["sm_head"]["kernel"],
+        p["lg_head"]["kernel"],
+    ]
+    np.testing.assert_allclose(np.asarray(jg_img), np.asarray(tf_gs[0]),
+                               atol=2e-5, rtol=1e-3)
+    for jg, tg in zip(jax_gs, tf_gs[1:]):
+        np.testing.assert_allclose(np.asarray(jg), np.asarray(tg),
+                                   atol=2e-5, rtol=1e-3)
