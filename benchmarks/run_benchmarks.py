@@ -25,7 +25,10 @@ import optax
 
 # Persistent compile cache (same as bench.py): repeat runs skip the remote
 # compile — essential on this box where big fused-model compiles are slow.
+# VIT_TPU_CACHE_DIR overrides (point at an empty dir to measure a COLD
+# compile honestly without clobbering the warm cache).
 jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("VIT_TPU_CACHE_DIR") or
                   os.path.join(os.path.dirname(os.path.dirname(
                       os.path.abspath(__file__))), ".jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -292,6 +292,13 @@ def _fused_attention_tier(x, dropout: float, training: bool, dtype,
     # batch block toward 1 (the VMEM math in _batch_per_program); bb=1
     # still fits and pays up to n=1024 (PiT stage 1: n=962, measured
     # round 3), beyond which flash territory begins.
+    if mode == "bmajor":
+        # Experimental force: token-major blocks outside the measured
+        # window.  Exists so short-sequence retries (the B/32 n=65
+        # headline) can be measured as the kernels improve — round 2's
+        # rejection predates the bf16-operand dots, divisor blocks and
+        # late-divide softmax (benchmarks/exp_b32_fused.py re-measures).
+        return "bmajor"
     if 128 <= n <= 1024:
         return "bmajor"
     # Short-sequence window (n < 128): measured NOT to pay at the B/32
@@ -335,8 +342,9 @@ def _fused_mlp_eligible(x, dropout: float, training: bool, dtype,
     # Token-major: below ~128 tokens XLA lays activations out
     # batch-in-sublanes ({2,0,1}) and the kernel boundary forces relayout
     # copies that eat the win (measured: B/32 train regressed, B/16 n=197
-    # gains 12%).
-    return x.shape[1] >= 128
+    # gains 12%).  "bmajor" forces the kernel outside the window (see
+    # _fused_attention_tier).
+    return x.shape[1] >= 128 or mode == "bmajor"
 
 
 def windowed_attention_eligible(folded_shape, folded_dtype, dropout: float,
