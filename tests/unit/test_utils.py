@@ -47,6 +47,22 @@ def test_checkpoint_manager(tmp_path):
     assert int(jax.tree.leaves(restored)[0]) == 3 or True  # structure restored
 
 
+def test_checkpoint_manager_async_save(tmp_path):
+    """wait=False overlaps the write with compute; wait() makes it durable."""
+    v = ViT(image_size=32, patch_size=8, num_classes=5, dim=32, depth=1,
+            heads=2, mlp_dim=64)
+    img = jnp.zeros((1, 32, 32, 3))
+    params = v.init(jax.random.PRNGKey(0), img)["params"]
+    state = create_train_state(params, optax.sgd(1e-2))
+
+    mgr = ckpt.CheckpointManager(str(tmp_path / "run_async"), max_to_keep=2)
+    mgr.save(7, state._replace(step=jnp.asarray(7)), wait=False)
+    mgr.wait()
+    assert mgr.latest_step() == 7
+    restored = mgr.restore(target=state)
+    assert int(restored.step) == 7
+
+
 def test_checked_raises_on_nan():
     @checked
     def bad(x):

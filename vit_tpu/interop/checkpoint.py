@@ -61,10 +61,22 @@ class CheckpointManager:
             max_to_keep=max_to_keep, create=True)
         self._mgr = ocp.CheckpointManager(self.directory, options=options)
 
-    def save(self, step: int, state: Any) -> None:
+    def save(self, step: int, state: Any, wait: bool = True) -> None:
+        """Persist ``state`` at ``step``.
+
+        ``wait=False`` returns as soon as the host copy is snapshotted and
+        lets orbax write in the background — the train loop overlaps
+        checkpoint I/O with compute; call :meth:`wait` (or the next
+        ``save``/``restore``) to block on durability when it matters
+        (end of run, pre-emption handler)."""
         import orbax.checkpoint as ocp
 
         self._mgr.save(step, args=ocp.args.StandardSave(jax.device_get(state)))
+        if wait:
+            self._mgr.wait_until_finished()
+
+    def wait(self) -> None:
+        """Block until all in-flight async saves are durable."""
         self._mgr.wait_until_finished()
 
     def latest_step(self) -> Optional[int]:
