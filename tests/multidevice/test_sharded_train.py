@@ -205,3 +205,53 @@ def test_self_supervised_loss_train_step_on_mesh():
         losses.append(float(metrics["loss"]))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]
+
+
+def _twins_losses(mesh_shape, n_steps=2):
+    from vit_tpu.models.twins_svt import TwinsSVT
+    from vit_tpu.parallel.train import state_shardings
+
+    m = TwinsSVT(num_classes=6,
+                 s1_emb_dim=32, s1_patch_size=4, s1_local_patch_size=4,
+                 s1_global_k=4, s1_depth=1,
+                 s2_emb_dim=32, s2_patch_size=2, s2_local_patch_size=4,
+                 s2_global_k=4, s2_depth=1,
+                 s3_emb_dim=32, s3_patch_size=2, s3_local_patch_size=2,
+                 s3_global_k=2, s3_depth=1,
+                 s4_emb_dim=32, s4_patch_size=2, s4_local_patch_size=2,
+                 s4_global_k=2, s4_depth=1)
+    img = jnp.zeros((8, 64, 64, 3))
+    params = m.init(jax.random.PRNGKey(0), img)["params"]
+
+    def apply_fn(p, images, rng):
+        return m.apply({"params": p}, images)
+
+    mesh = mesh_lib.make_mesh(mesh_shape)
+    # small lr: at 1e-2 this config diverges (loss 5.9 -> 21 in one step)
+    # and the chaotic blow-up amplifies all-reduce ordering noise past any
+    # tolerance; the pin wants a stable regime.
+    tx = optax.sgd(1e-3)
+    state = create_train_state(params, tx)
+    _, compile_step = make_train_step(apply_fn, tx, mesh)
+    step = compile_step(state)
+    state = jax.device_put(state, state_shardings(mesh, state))
+
+    images = jax.random.normal(jax.random.PRNGKey(1), (8, 64, 64, 3))
+    labels = jnp.arange(8) % 6
+    losses = []
+    for _ in range(n_steps):
+        state, metrics = step(state, images, labels, jax.random.PRNGKey(2))
+        losses.append(float(metrics["loss"]))
+    return state, losses
+
+
+def test_twins_svt_dp4_tp2_matches_dp8():
+    """Second conv-hybrid TP pin (beyond LeViT): Twins-SVT's windowed
+    local attention + conv-reduced global attention shard their 1×1-conv
+    projections over `model` and stay numerically equivalent to pure DP."""
+    _, losses_dp = _twins_losses((8, 1))
+    state_tp, losses_tp = _twins_losses((4, 2))
+    np.testing.assert_allclose(losses_dp, losses_tp, rtol=2e-4)
+
+    k = state_tp.params["s1_pre_transformer"]["local_attn_0"]["to_q"]["kernel"]
+    assert tuple(k.sharding.spec) == (None, None, None, "model")

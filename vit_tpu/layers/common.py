@@ -561,6 +561,43 @@ class DropPath(nn.Module):
         return jnp.where(mask, x / keep, 0.0).astype(x.dtype)
 
 
+class GroupedConv(nn.Module):
+    """Drop-in for ``Conv(..., feature_group_count=in_channels)`` — same
+    param tree ("kernel"/"bias", same shapes and init) and the same
+    ``lax`` forward, but with the SPMD-safe backward of
+    ``vit_tpu.ops.depthwise.grouped_conv2d``: XLA's stock grouped-conv
+    kernel gradient is M× too large when the computation is replicated
+    over a size-M mesh axis (the TP `model` axis), which corrupted every
+    depthwise conv under DP×TP."""
+
+    features: int
+    kernel_size: tuple
+    strides: int = 1
+    padding: Any = "SAME"
+    use_bias: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        from flax.linen import dtypes as fdtypes
+
+        from vit_tpu.ops.depthwise import grouped_conv2d
+
+        kh, kw = self.kernel_size
+        kernel = self.param("kernel", glorot_uniform,
+                            (kh, kw, 1, self.features))
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,)) if self.use_bias else None
+        x, kernel, bias = fdtypes.promote_dtype(x, kernel, bias,
+                                                dtype=self.dtype)
+        s = self.strides
+        strides = (s, s) if isinstance(s, int) else tuple(s)
+        out = grouped_conv2d(x, kernel, strides, self.padding)
+        if bias is not None:
+            out = out + bias
+        return out
+
+
 class PEG(nn.Module):
     """Positional Encoding Generator: residual depthwise 3×3 conv over the
     NHWC map (CPVT; reference twins_svt.py:108-115, regionvit.py:54-61,
@@ -572,11 +609,10 @@ class PEG(nn.Module):
 
     @nn.compact
     def __call__(self, x, training: bool = False):
-        out = Conv(
+        out = GroupedConv(
             self.dim,
             (self.kernel_size, self.kernel_size),
             padding="SAME",
-            feature_group_count=self.dim,
             dtype=self.dtype,
             name="proj",
         )(x)
@@ -597,12 +633,11 @@ class DepthWiseConv2d(nn.Module):
 
     @nn.compact
     def __call__(self, x, training: bool = False):
-        x = Conv(
+        x = GroupedConv(
             self.dim_in,
             (self.kernel_size, self.kernel_size),
             strides=self.stride,
             padding="SAME",
-            feature_group_count=self.dim_in,
             use_bias=self.use_bias,
             dtype=self.dtype,
             name="depthwise",

@@ -18,7 +18,8 @@ import jax.numpy as jnp
 from einops import rearrange
 from flax import linen as nn
 
-from vit_tpu.layers.common import ChannelLayerNorm, Conv, Dense, gelu_exact
+from vit_tpu.layers.common import (ChannelLayerNorm, Conv, Dense,
+                                   GroupedConv, gelu_exact)
 from vit_tpu.ops.attention import scaled_dot_product_attention
 
 
@@ -34,9 +35,9 @@ class CvTDepthWiseConv2d(nn.Module):
 
     @nn.compact
     def __call__(self, x, training: bool = False):
-        x = Conv(self.dim_in, (self.kernel_size, self.kernel_size),
+        x = GroupedConv(self.dim_in, (self.kernel_size, self.kernel_size),
                  strides=self.stride, padding="SAME",
-                 feature_group_count=self.dim_in, use_bias=self.use_bias,
+                 use_bias=self.use_bias,
                  dtype=self.dtype, name="depthwise")(x)
         x = nn.BatchNorm(use_running_average=not training, momentum=0.9,
                          epsilon=1e-5, name="bn")(x)

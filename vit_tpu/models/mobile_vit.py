@@ -17,7 +17,7 @@ import jax.numpy as jnp
 from einops import rearrange
 from flax import linen as nn
 
-from vit_tpu.layers.common import Conv, Dense, LayerNorm
+from vit_tpu.layers.common import Conv, Dense, GroupedConv, LayerNorm
 
 
 def swish(x):
@@ -67,8 +67,8 @@ class MV2Block(nn.Module):
                        name="pw")(out)
             out = bn("pw_bn")(out)
             out = swish(out)
-        out = Conv(hidden_dim, (3, 3), strides=self.stride, padding="SAME",
-                   feature_group_count=hidden_dim, use_bias=False,
+        out = GroupedConv(hidden_dim, (3, 3), strides=self.stride,
+                          padding="SAME", use_bias=False,
                    dtype=self.dtype, name="dw")(out)
         out = bn("dw_bn")(out)
         out = swish(out)

@@ -23,7 +23,7 @@ from einops import rearrange, repeat
 from flax import linen as nn
 
 from vit_tpu.core.helpers import cast_tuple
-from vit_tpu.layers.common import Conv, Dense, LayerNorm, Transformer
+from vit_tpu.layers.common import Conv, Dense, GroupedConv, LayerNorm, Transformer
 from vit_tpu.ops.patchify import extract_patches
 
 
@@ -48,9 +48,9 @@ class Pool(nn.Module):
         fmap = rearrange(tokens, "b (h w) c -> b h w c", h=h)
         # Keras Conv2D(filters=2·dim, groups=dim): each group maps 1 input
         # channel to 2 outputs (pit.py:130).
-        fmap = Conv(self.dim * 2, (3, 3), strides=2, padding="SAME",
-                    feature_group_count=self.dim, dtype=self.dtype,
-                    name="downsample_grouped")(fmap)
+        fmap = GroupedConv(self.dim * 2, (3, 3), strides=2, padding="SAME",
+                           dtype=self.dtype,
+                           name="downsample_grouped")(fmap)
         fmap = Conv(self.dim * 2, (1, 1), dtype=self.dtype,
                     name="downsample_pointwise")(fmap)
         tokens = rearrange(fmap, "b h w c -> b (h w) c")

@@ -21,7 +21,7 @@ from einops import rearrange
 from flax import linen as nn
 
 from vit_tpu.core.helpers import cast_tuple, divisible_by
-from vit_tpu.layers.common import (Conv, Dense, LayerNorm, gelu_exact,
+from vit_tpu.layers.common import (Conv, Dense, GroupedConv, LayerNorm, gelu_exact,
                                    windowed_attention_eligible)
 
 
@@ -261,8 +261,8 @@ class RegionViT(nn.Module):
                 local_tokens = down(local_tokens)
                 region_tokens = down(region_tokens)
             if ind != 0 and self.use_peg:
-                peg_out = Conv(d, (3, 3), padding="SAME",
-                               feature_group_count=d, dtype=self.dtype,
+                peg_out = GroupedConv(d, (3, 3), padding="SAME",
+                                      dtype=self.dtype,
                                name=f"peg_{ind}")(local_tokens)
                 local_tokens = peg_out + local_tokens
             local_tokens, region_tokens = R2LTransformer(

@@ -23,7 +23,8 @@ from einops import rearrange
 from flax import linen as nn
 
 from vit_tpu.core.helpers import cast_tuple, default
-from vit_tpu.layers.common import ChannelLayerNorm, Conv, Dense, LayerNorm, gelu_exact
+from vit_tpu.layers.common import (ChannelLayerNorm, Conv, Dense,
+                                   GroupedConv, LayerNorm, gelu_exact)
 from vit_tpu.ops.attention import scaled_dot_product_attention
 
 
@@ -214,8 +215,8 @@ class ScalableTransformer(nn.Module):
                         name=f"ff1_{ind}")(h, training=training)
             x = x + h
             if ind == 0:
-                peg = Conv(self.dim, (3, 3), padding="SAME",
-                           feature_group_count=self.dim, dtype=self.dtype,
+                peg = GroupedConv(self.dim, (3, 3), padding="SAME",
+                                  dtype=self.dtype,
                            name="peg")(x)
                 x = peg + x
             h = ChannelLayerNorm(self.dim, name=f"iwsa_norm_{ind}")(x)

@@ -17,7 +17,7 @@ import jax.numpy as jnp
 from einops import rearrange
 from flax import linen as nn
 
-from vit_tpu.layers.common import (ChannelLayerNorm, Conv, Dense,
+from vit_tpu.layers.common import (ChannelLayerNorm, Conv, Dense, GroupedConv,
                                    fused_conv_mlp_residual, gelu_exact,
                                    windowed_attention_eligible)
 
@@ -149,8 +149,8 @@ class PEG(nn.Module):
 
     @nn.compact
     def __call__(self, x, training: bool = False):
-        out = Conv(self.dim, (self.kernel_size, self.kernel_size),
-                   padding="SAME", feature_group_count=self.dim,
+        out = GroupedConv(self.dim, (self.kernel_size, self.kernel_size),
+                   padding="SAME",
                    dtype=self.dtype, name="proj")(x)
         return out + x
 
