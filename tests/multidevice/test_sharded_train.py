@@ -255,3 +255,46 @@ def test_twins_svt_dp4_tp2_matches_dp8():
 
     k = state_tp.params["s1_pre_transformer"]["local_attn_0"]["to_q"]["kernel"]
     assert tuple(k.sharding.spec) == (None, None, None, "model")
+
+
+def _mobilevit_losses(mesh_shape, n_steps=2):
+    from vit_tpu.models.mobile_vit import MobileViT
+    from vit_tpu.parallel.train import (bn_state_shardings,
+                                        create_bn_train_state,
+                                        make_bn_train_step)
+
+    m = MobileViT(image_size=(64, 64), dims=[16, 24, 32],
+                  channels=[8, 8, 12, 12, 16, 16, 24, 24, 32, 32, 48],
+                  num_classes=6)
+    img = jnp.zeros((8, 64, 64, 3))
+    variables = m.init(jax.random.PRNGKey(0), img)
+    params = variables["params"]
+    model_state = {"batch_stats": variables["batch_stats"]}
+
+    def apply_fn(p, ms, images, rng):
+        return m.apply({"params": p, **ms}, images, training=True,
+                       mutable=["batch_stats"], rngs={"dropout": rng})
+
+    mesh = mesh_lib.make_mesh(mesh_shape)
+    tx = optax.sgd(1e-3)
+    state = create_bn_train_state(params, model_state, tx)
+    _, compile_step = make_bn_train_step(apply_fn, tx, mesh)
+    step = compile_step(state)
+    state = jax.device_put(state, bn_state_shardings(mesh, state))
+
+    images = jax.random.normal(jax.random.PRNGKey(1), (8, 64, 64, 3))
+    labels = jnp.arange(8) % 6
+    losses = []
+    for _ in range(n_steps):
+        state, metrics = step(state, images, labels, jax.random.PRNGKey(2))
+        losses.append(float(metrics["loss"]))
+    return losses
+
+
+def test_mobilevit_dp4_tp2_matches_dp8():
+    """BN batch-stats path + MV2 depthwise convs (GroupedConv) under TP:
+    the third conv-hybrid pin, covering the param classes the grouped-conv
+    dkernel fix exists for."""
+    losses_dp = _mobilevit_losses((8, 1))
+    losses_tp = _mobilevit_losses((4, 2))
+    np.testing.assert_allclose(losses_dp, losses_tp, rtol=2e-4)
