@@ -126,17 +126,25 @@ def main():
     }))
 
 
-def _retry_fresh_process():
-    """One retry in a brand-new process after clearing the persistent compile
-    cache.  Round 1's artifact died to a transient libtpu client/terminal
-    mismatch naming stale AOT executables — a fresh client with a cold cache
-    is the recovery for that whole failure class."""
+def _retry_fresh_process(exc):
+    """One retry in a brand-new process.  Round 1's artifact died to a
+    transient libtpu client/terminal mismatch naming stale AOT executables —
+    a fresh client with a cold cache recovers that failure class, so the
+    persistent cache is cleared ONLY for it.  When the backend is simply
+    unreachable (the axon tunnel's claim/remote-compile relay down —
+    ``UNAVAILABLE`` init errors), clearing ~3 GB of warm compiles cannot
+    help and would cost the next session hours of recompiles; retry with
+    the cache intact."""
     import shutil
     import subprocess
     import sys
 
-    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
-    shutil.rmtree(cache, ignore_errors=True)
+    msg = f"{type(exc).__name__}: {exc}"
+    tunnel_down = "UNAVAILABLE" in msg or "Unable to initialize backend" in msg
+    if not tunnel_down:
+        cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
+        shutil.rmtree(cache, ignore_errors=True)
     env = dict(os.environ, VIT_TPU_BENCH_RETRY="1")
     raise SystemExit(subprocess.call([sys.executable, os.path.abspath(__file__)], env=env))
 
@@ -147,8 +155,8 @@ if __name__ == "__main__":
     else:
         try:
             main()
-        except Exception:
+        except Exception as exc:
             import traceback
 
             traceback.print_exc()
-            _retry_fresh_process()
+            _retry_fresh_process(exc)
