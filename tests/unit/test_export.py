@@ -57,3 +57,21 @@ def test_export_rejects_other_shapes():
     except Exception:
         return
     raise AssertionError("shape mismatch silently accepted")
+
+
+def test_export_cross_platform_from_cpu_host():
+    """A CPU host can lower the artifact for TPU serving (the deployment
+    path: build artifacts in CI, serve on chips)."""
+    from jax import export as jax_export
+
+    model, variables = _model_and_vars()
+    data = export_forward(model, variables, (2, 32, 32, 3),
+                          platforms=("tpu", "cpu"))
+    exported = jax_export.deserialize(data)
+    assert exported.platforms == ("tpu", "cpu")
+    # and it still runs on this (CPU) host
+    img = jax.random.normal(jax.random.PRNGKey(3), (2, 32, 32, 3))
+    served = load_forward(data)
+    np.testing.assert_allclose(
+        np.asarray(served(variables, img)),
+        np.asarray(model.apply(variables, img)), atol=1e-6, rtol=1e-6)
