@@ -298,3 +298,35 @@ def test_mobilevit_dp4_tp2_matches_dp8():
     losses_dp = _mobilevit_losses((8, 1))
     losses_tp = _mobilevit_losses((4, 2))
     np.testing.assert_allclose(losses_dp, losses_tp, rtol=2e-4)
+
+
+def test_grad_accumulation_matches_full_batch(model_and_params):
+    """accum_steps=2 over batch 8 must produce the same first update and
+    loss as the single full-batch step (mean-reduced CE), sharded DP8."""
+    from vit_tpu.parallel.train import state_shardings
+
+    v, params = model_and_params
+    mesh = mesh_lib.make_mesh((8, 1))
+    images = jax.random.normal(jax.random.PRNGKey(1), (8, 32, 32, 3))
+    labels = jnp.arange(8) % 10
+
+    def run(accum):
+        tx = optax.sgd(1e-2)
+        state = create_train_state(jax.tree.map(jnp.array, params), tx)
+
+        def apply_fn(p, im, rng):
+            return v.apply({"params": p}, im)
+
+        _, compile_step = make_train_step(apply_fn, tx, mesh,
+                                          accum_steps=accum)
+        step = compile_step(state)
+        state = jax.device_put(state, state_shardings(mesh, state))
+        state, metrics = step(state, images, labels, jax.random.PRNGKey(0))
+        return state, float(metrics["loss"])
+
+    s1, l1 = run(1)
+    s2, l2 = run(2)
+    np.testing.assert_allclose(l1, l2, rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-6, rtol=1e-5)

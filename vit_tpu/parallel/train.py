@@ -62,21 +62,54 @@ def make_train_step(
     mesh: Mesh,
     loss_fn: Optional[Callable] = None,
     donate: bool = True,
+    accum_steps: int = 1,
 ):
     """Build a jitted SPMD classification train step.
 
     ``apply_fn(params, images, rng) -> logits``; the returned step has
     signature ``step(state, images, labels, rng) -> (state, metrics)`` with
     images/labels sharded over the ``data`` axis.
+
+    ``accum_steps > 1`` splits the batch into that many microbatches and
+    accumulates gradients over a ``lax.scan`` before the single optimizer
+    update — activation memory drops ~accum_steps× (one microbatch of
+    activations live at a time) at unchanged math: the accumulated mean
+    gradient equals the full-batch gradient for mean-reduced losses.  The
+    HBM lever for activation-heavy models (e.g. ScalableViT's stage-1
+    attention maps) without changing the effective batch.
     """
     loss_fn = loss_fn or cross_entropy_loss
 
     def step(state: TrainState, images, labels, rng):
-        def loss_of(params):
+        def loss_of(params, images, labels, rng):
             logits = apply_fn(params, images, rng)
             return loss_fn(logits, labels)
 
-        loss, grads = jax.value_and_grad(loss_of)(state.params)
+        if accum_steps > 1:
+            assert images.shape[0] % accum_steps == 0, (
+                f"batch {images.shape[0]} must divide over "
+                f"{accum_steps} accumulation steps")
+            micro_imgs = images.reshape(
+                accum_steps, -1, *images.shape[1:])
+            micro_lbls = labels.reshape(accum_steps, -1)
+
+            def body(carry, xs):
+                g_acc, l_acc = carry
+                im, lb, i = xs
+                l, g = jax.value_and_grad(loss_of)(
+                    state.params, im, lb, jax.random.fold_in(rng, i))
+                return (jax.tree.map(jnp.add, g_acc, g), l_acc + l), None
+
+            init = (jax.tree.map(jnp.zeros_like, state.params),
+                    jnp.zeros((), jnp.float32))
+            (g_sum, l_sum), _ = jax.lax.scan(
+                body, init, (micro_imgs, micro_lbls,
+                             jnp.arange(accum_steps)))
+            grads = jax.tree.map(lambda g: g / accum_steps, g_sum)
+            loss = l_sum / accum_steps
+        else:
+            loss, grads = jax.value_and_grad(loss_of)(
+                state.params, images, labels, rng)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         new_state = TrainState(state.step + 1, params, opt_state)
