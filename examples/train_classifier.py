@@ -68,6 +68,10 @@ def main():
     ap.add_argument("--bf16", action="store_true")
     ap.add_argument("--tp", type=int, default=1,
                     help="model-axis size (tensor parallel)")
+    ap.add_argument("--accum", type=int, default=1,
+                    help="gradient-accumulation microbatches per step")
+    ap.add_argument("--export", default=None,
+                    help="write a serving StableHLO artifact here at the end")
     ap.add_argument("--ckpt-dir", default=None)
     ap.add_argument("--log-every", type=int, default=10)
     args = ap.parse_args()
@@ -99,7 +103,8 @@ def main():
         return model.apply({"params": p}, images, training=True,
                            rngs={"dropout": rng})
 
-    _, compile_step = make_train_step(apply_fn, tx, mesh)
+    _, compile_step = make_train_step(apply_fn, tx, mesh,
+                                      accum_steps=args.accum)
     step_fn = compile_step(state)
     state = jax.device_put(state, state_shardings(mesh, state))
 
@@ -124,8 +129,18 @@ def main():
                                  step_rng)
         logger.log(i + 1, {"loss": metrics["loss"]})
         if ckpt_mgr is not None and (i + 1) % 50 == 0:
-            ckpt_mgr.save(i + 1, state)
+            # async: the write overlaps the next training steps
+            ckpt_mgr.save(i + 1, state, wait=False)
+    if ckpt_mgr is not None:
+        ckpt_mgr.wait()
     logger.flush()
+    if args.export:
+        from vit_tpu.interop.export import save_forward
+
+        save_forward(args.export, model, {"params": jax.device_get(state.params)},
+                     (args.batch, args.image_size, args.image_size, 3),
+                     dtype=dtype, bake_params=True)
+        print(f"serving artifact: {args.export}")
     print("done")
 
 
