@@ -330,3 +330,64 @@ def test_grad_accumulation_matches_full_batch(model_and_params):
     for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-6, rtol=1e-5)
+
+
+def test_sharding_rules_cover_the_zoo():
+    """Rule-table audit: for a representative slice of the zoo, the big
+    matmul params (attention projections, MLP fc1/fc2) must actually get
+    `model`-sharded specs — a silent fall-through to replication is a TP
+    perf regression the loss-equivalence pins can't see."""
+    from vit_tpu import CaiT, CvT, LeViT, ViT
+    from vit_tpu.models.twins_svt import TwinsSVT
+    from vit_tpu.parallel.sharding import param_specs
+
+    models = {
+        "vit": (ViT(image_size=32, patch_size=8, num_classes=5, dim=64,
+                    depth=2, heads=2, mlp_dim=128), (1, 32, 32, 3)),
+        "cait": (CaiT(image_size=32, patch_size=8, num_classes=5, dim=64,
+                      depth=1, cls_depth=1, heads=2, mlp_dim=128),
+                 (1, 32, 32, 3)),
+        "cvt": (CvT(num_classes=5, s1_emb_dim=32, s1_heads=1, s1_depth=1,
+                    s2_emb_dim=48, s2_heads=2, s2_depth=1, s3_emb_dim=64,
+                    s3_heads=2, s3_depth=1), (1, 64, 64, 3)),
+        "twins": (TwinsSVT(num_classes=5,
+                           s1_emb_dim=32, s1_patch_size=4,
+                           s1_local_patch_size=4, s1_global_k=4, s1_depth=1,
+                           s2_emb_dim=32, s2_patch_size=2,
+                           s2_local_patch_size=4, s2_global_k=4, s2_depth=1,
+                           s3_emb_dim=32, s3_patch_size=2,
+                           s3_local_patch_size=2, s3_global_k=2, s3_depth=1,
+                           s4_emb_dim=32, s4_patch_size=2,
+                           s4_local_patch_size=2, s4_global_k=2, s4_depth=1),
+                  (1, 128, 128, 3)),
+        "levit": (LeViT(image_size=64, num_classes=5, stages=2,
+                        dim=(32, 48), depth=1, heads=(2, 3), mlp_mult=2,
+                        dim_key=8, dim_value=16), (1, 64, 64, 3)),
+    }
+    import jax.tree_util as jtu
+
+    for name, (m, shape) in models.items():
+        variables = m.init(jax.random.PRNGKey(0), jnp.zeros(shape))
+        specs = param_specs(variables["params"])
+        flat_p = jtu.tree_flatten_with_path(variables["params"])[0]
+        flat_s = jtu.tree_flatten_with_path(specs)[0]
+        hot, sharded = 0, 0
+        for (path, value), (_, spec) in zip(flat_p, flat_s):
+            key = jtu.keystr(path)
+            if "kernel" not in key:
+                continue
+            # depthwise halves (h, w, 1, C) with h*w > 1 are grouped convs:
+            # replicated by design (no contraction dim to split).
+            if value.ndim == 4 and value.shape[2] == 1 \
+                    and value.shape[:2] != (1, 1):
+                continue
+            if any(t in key for t in ("to_q", "to_k", "to_v", "to_qkv",
+                                      "to_kv", "to_out", "fc1", "fc2")):
+                hot += 1
+                if any(ax == "model" for ax in spec if ax is not None):
+                    sharded += 1
+        assert hot > 0, name
+        frac = sharded / hot
+        assert frac >= 0.8, (
+            f"{name}: only {sharded}/{hot} hot matmul kernels are "
+            f"model-sharded — rule-table regression?")

@@ -18,6 +18,7 @@ divisible across the axis.
 
 from __future__ import annotations
 
+import re
 from typing import Any
 
 import jax
@@ -29,11 +30,24 @@ _COLUMN = ("to_qkv", "to_q", "to_kv", "to_v", "fc1")
 _ROW = ("to_out", "fc2")
 
 
+def _normalize(name: str) -> str:
+    """Module name → rule key: strip the per-layer index suffix and the
+    ``mlp_`` prefix (NesT/CvT name their 1×1 conv-MLP halves
+    ``mlp_fc1_3``; Twins names its blocks ``ff1_0/fc1``)."""
+    name = _INDEX_SUFFIX.sub("", name)
+    if name.startswith("mlp_"):
+        name = name[4:]
+    return name
+
+
+_INDEX_SUFFIX = re.compile(r"(_\d+)+$")
+
+
 def _spec_for_path(path: tuple[str, ...], leaf: Any) -> P:
     names = [getattr(k, "key", str(k)) for k in path]
     leafname = names[-1] if names else ""
-    parent = names[-2] if len(names) >= 2 else ""
-    grandparent = names[-3] if len(names) >= 3 else ""
+    parent = _normalize(names[-2]) if len(names) >= 2 else ""
+    grandparent = _normalize(names[-3]) if len(names) >= 3 else ""
     # CvT-style separable projection: the 1×1 pointwise half carries the
     # channel mixing; the depthwise half replicates (grouped kernel).
     if parent == "pointwise" and grandparent in _COLUMN + _ROW:
