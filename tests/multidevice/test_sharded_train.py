@@ -391,3 +391,47 @@ def test_sharding_rules_cover_the_zoo():
         assert frac >= 0.8, (
             f"{name}: only {sharded}/{hot} hot matmul kernels are "
             f"model-sharded — rule-table regression?")
+
+
+def test_cvt_dp4_tp2_matches_dp8():
+    """CvT under TP: BN inside the attention projections + the newly
+    sharded mlp_fc1/mlp_fc2 1×1 conv kernels must stay DP-equivalent."""
+    from vit_tpu import CvT
+    from vit_tpu.parallel.train import (bn_state_shardings,
+                                        create_bn_train_state,
+                                        make_bn_train_step)
+
+    def losses(mesh_shape, n_steps=2):
+        m = CvT(num_classes=6, s1_emb_dim=32, s1_heads=1, s1_depth=1,
+                s2_emb_dim=48, s2_heads=2, s2_depth=1,
+                s3_emb_dim=64, s3_heads=2, s3_depth=1)
+        img = jnp.zeros((8, 64, 64, 3))
+        variables = m.init(jax.random.PRNGKey(0), img)
+        params = variables["params"]
+        model_state = {"batch_stats": variables["batch_stats"]}
+
+        def apply_fn(p, images, rng):
+            return m.apply({"params": p, **model_state}, images,
+                           training=True, mutable=["batch_stats"],
+                           rngs={"dropout": rng})
+
+        mesh = mesh_lib.make_mesh(mesh_shape)
+        tx = optax.sgd(1e-3)
+        state = create_bn_train_state(params, model_state, tx)
+        _, compile_step = make_bn_train_step(
+            lambda p, ms, images, rng: m.apply(
+                {"params": p, **ms}, images, training=True,
+                mutable=["batch_stats"], rngs={"dropout": rng}),
+            tx, mesh)
+        step = compile_step(state)
+        state = jax.device_put(state, bn_state_shardings(mesh, state))
+        images = jax.random.normal(jax.random.PRNGKey(1), (8, 64, 64, 3))
+        labels = jnp.arange(8) % 6
+        out = []
+        for _ in range(n_steps):
+            state, metrics = step(state, images, labels,
+                                  jax.random.PRNGKey(2))
+            out.append(float(metrics["loss"]))
+        return out
+
+    np.testing.assert_allclose(losses((8, 1)), losses((4, 2)), rtol=2e-4)
