@@ -435,3 +435,38 @@ def test_cvt_dp4_tp2_matches_dp8():
         return out
 
     np.testing.assert_allclose(losses((8, 1)), losses((4, 2)), rtol=2e-4)
+
+
+def test_loss_step_grad_accumulation():
+    """accum_steps on the self-supervised step: finite decreasing loss and
+    the same param structure as the plain step (MAE's mask rng folds per
+    microbatch, so exact equality is not expected — the pin is stability)."""
+    from vit_tpu.objectives import MAE
+    from vit_tpu.parallel.train import make_loss_train_step, state_shardings
+
+    enc = ViT(image_size=32, patch_size=8, num_classes=10, dim=32, depth=1,
+              heads=2, mlp_dim=64, dim_head=16)
+    mae = MAE(image_size=32, encoder=enc, decoder_dim=16, decoder_depth=1)
+    img = jnp.zeros((8, 32, 32, 3))
+    params = mae.init({"params": jax.random.PRNGKey(0)}, img)["params"]
+
+    def loss_apply(p, batch, rng):
+        return mae.apply({"params": p}, batch, training=True,
+                         rngs={"mask": rng, "dropout": rng})
+
+    mesh = mesh_lib.make_mesh((8, 1))
+    tx = optax.adam(1e-3)
+    state = create_train_state(params, tx)
+    _, compile_step = make_loss_train_step(loss_apply, tx, mesh,
+                                           accum_steps=2)
+    step = compile_step(state)
+    state = jax.device_put(state, state_shardings(mesh, state))
+    images = jax.random.normal(jax.random.PRNGKey(1), (8, 32, 32, 3))
+    losses = []
+    rng = jax.random.PRNGKey(7)
+    for _ in range(3):
+        rng, k = jax.random.split(rng)
+        state, metrics = step(state, images, k)
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]

@@ -135,12 +135,37 @@ def make_loss_train_step(
     tx: optax.GradientTransformation,
     mesh: Mesh,
     donate: bool = True,
+    accum_steps: int = 1,
 ):
     """Same, for self-supervised objectives whose forward IS the loss
     (MAE/SimMIM/MPP/Distill wrappers): ``loss_apply_fn(params, batch, rng)
-    -> scalar loss``."""
+    -> scalar loss``.  ``accum_steps`` microbatches the leading axis of
+    every array in ``batch`` (see :func:`make_train_step`)."""
 
     def step(state: TrainState, batch, rng):
+        if accum_steps > 1:
+            micro = jax.tree.map(
+                lambda a: a.reshape(accum_steps, -1, *a.shape[1:]), batch)
+
+            def body(carry, xs):
+                g_acc, l_acc = carry
+                mb, i = xs
+                l, g = jax.value_and_grad(
+                    lambda p: loss_apply_fn(p, mb, jax.random.fold_in(rng, i))
+                )(state.params)
+                return (jax.tree.map(jnp.add, g_acc, g), l_acc + l), None
+
+            init = (jax.tree.map(jnp.zeros_like, state.params),
+                    jnp.zeros((), jnp.float32))
+            (g_sum, l_sum), _ = jax.lax.scan(
+                body, init, (micro, jnp.arange(accum_steps)))
+            grads = jax.tree.map(lambda g: g / accum_steps, g_sum)
+            loss = l_sum / accum_steps
+            updates, opt_state = tx.update(grads, state.opt_state,
+                                           state.params)
+            params = optax.apply_updates(state.params, updates)
+            new_state = TrainState(state.step + 1, params, opt_state)
+            return new_state, {"loss": loss, "step": new_state.step}
         loss, grads = jax.value_and_grad(
             lambda p: loss_apply_fn(p, batch, rng)
         )(state.params)
