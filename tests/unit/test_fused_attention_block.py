@@ -220,3 +220,22 @@ def test_regionvit_fused_gate_small_groups():
     out = model.apply(params, img)
     assert out.shape == (2, 7)
     assert bool(jnp.all(jnp.isfinite(out)))
+
+
+def test_b32_headline_shape_class():
+    """n=65 (odd, < 128) with a lane-multiple model dim — the exact shape
+    class the experimental fused_attention='bmajor' force routes through
+    the block kernel for the B/32 headline retry (benchmarks/
+    exp_b32_fused.py).  Forward + full VJP vs the XLA reference."""
+    args, heads, dh = _args(b=8, n=65, d=128, heads=2, dh=64)
+    y = fused_attention_block(*args, heads, dh, None, 1e-3, True)
+    yr = _ref(*args, heads, dh)
+    assert jnp.max(jnp.abs(y - yr)) < 1e-5
+
+    gf = jax.grad(lambda a: jnp.sum(jnp.sin(
+        fused_attention_block(*a, heads, dh, None, 1e-3, True))))(args)
+    gr = jax.grad(lambda a: jnp.sum(jnp.sin(_ref(*a, heads, dh))))(args)
+    for name, a, b in zip(["dx", "dgamma", "dbeta", "dwqkv", "dwo", "dbo"],
+                          gf, gr):
+        rel = jnp.max(jnp.abs(a - b)) / (jnp.max(jnp.abs(b)) + 1e-9)
+        assert rel < 1e-5, f"{name}: rel {rel}"
