@@ -56,6 +56,35 @@ def state_shardings(mesh: Mesh, state: TrainState) -> TrainState:
     )
 
 
+def _accum_value_and_grad(loss_of: Callable, params, batch, rng,
+                          accum_steps: int):
+    """Mean loss/grad over ``accum_steps`` microbatches via ``lax.scan``.
+
+    ``batch`` is a pytree whose leaves share the leading batch axis;
+    ``loss_of(params, microbatch, rng) -> scalar``.  The rng is folded per
+    microbatch index.  Equals the full-batch gradient for mean-reduced
+    losses (and deterministic ``loss_of``)."""
+    sizes = {a.shape[0] for a in jax.tree.leaves(batch)}
+    assert all(s % accum_steps == 0 for s in sizes), (
+        f"batch {sizes} must divide over {accum_steps} accumulation steps")
+    micro = jax.tree.map(
+        lambda a: a.reshape(accum_steps, -1, *a.shape[1:]), batch)
+
+    def body(carry, xs):
+        g_acc, l_acc = carry
+        mb, i = xs
+        l, g = jax.value_and_grad(loss_of)(
+            params, mb, jax.random.fold_in(rng, i))
+        return (jax.tree.map(jnp.add, g_acc, g), l_acc + l), None
+
+    init = (jax.tree.map(jnp.zeros_like, params),
+            jnp.zeros((), jnp.float32))
+    (g_sum, l_sum), _ = jax.lax.scan(
+        body, init, (micro, jnp.arange(accum_steps)))
+    return l_sum / accum_steps, jax.tree.map(
+        lambda g: g / accum_steps, g_sum)
+
+
 def make_train_step(
     apply_fn: Callable,
     tx: optax.GradientTransformation,
@@ -81,35 +110,16 @@ def make_train_step(
     loss_fn = loss_fn or cross_entropy_loss
 
     def step(state: TrainState, images, labels, rng):
-        def loss_of(params, images, labels, rng):
-            logits = apply_fn(params, images, rng)
-            return loss_fn(logits, labels)
+        def loss_of(params, batch, rng):
+            logits = apply_fn(params, batch[0], rng)
+            return loss_fn(logits, batch[1])
 
         if accum_steps > 1:
-            assert images.shape[0] % accum_steps == 0, (
-                f"batch {images.shape[0]} must divide over "
-                f"{accum_steps} accumulation steps")
-            micro_imgs = images.reshape(
-                accum_steps, -1, *images.shape[1:])
-            micro_lbls = labels.reshape(accum_steps, -1)
-
-            def body(carry, xs):
-                g_acc, l_acc = carry
-                im, lb, i = xs
-                l, g = jax.value_and_grad(loss_of)(
-                    state.params, im, lb, jax.random.fold_in(rng, i))
-                return (jax.tree.map(jnp.add, g_acc, g), l_acc + l), None
-
-            init = (jax.tree.map(jnp.zeros_like, state.params),
-                    jnp.zeros((), jnp.float32))
-            (g_sum, l_sum), _ = jax.lax.scan(
-                body, init, (micro_imgs, micro_lbls,
-                             jnp.arange(accum_steps)))
-            grads = jax.tree.map(lambda g: g / accum_steps, g_sum)
-            loss = l_sum / accum_steps
+            loss, grads = _accum_value_and_grad(
+                loss_of, state.params, (images, labels), rng, accum_steps)
         else:
             loss, grads = jax.value_and_grad(loss_of)(
-                state.params, images, labels, rng)
+                state.params, (images, labels), rng)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         new_state = TrainState(state.step + 1, params, opt_state)
@@ -144,31 +154,12 @@ def make_loss_train_step(
 
     def step(state: TrainState, batch, rng):
         if accum_steps > 1:
-            micro = jax.tree.map(
-                lambda a: a.reshape(accum_steps, -1, *a.shape[1:]), batch)
-
-            def body(carry, xs):
-                g_acc, l_acc = carry
-                mb, i = xs
-                l, g = jax.value_and_grad(
-                    lambda p: loss_apply_fn(p, mb, jax.random.fold_in(rng, i))
-                )(state.params)
-                return (jax.tree.map(jnp.add, g_acc, g), l_acc + l), None
-
-            init = (jax.tree.map(jnp.zeros_like, state.params),
-                    jnp.zeros((), jnp.float32))
-            (g_sum, l_sum), _ = jax.lax.scan(
-                body, init, (micro, jnp.arange(accum_steps)))
-            grads = jax.tree.map(lambda g: g / accum_steps, g_sum)
-            loss = l_sum / accum_steps
-            updates, opt_state = tx.update(grads, state.opt_state,
-                                           state.params)
-            params = optax.apply_updates(state.params, updates)
-            new_state = TrainState(state.step + 1, params, opt_state)
-            return new_state, {"loss": loss, "step": new_state.step}
-        loss, grads = jax.value_and_grad(
-            lambda p: loss_apply_fn(p, batch, rng)
-        )(state.params)
+            loss, grads = _accum_value_and_grad(
+                loss_apply_fn, state.params, batch, rng, accum_steps)
+        else:
+            loss, grads = jax.value_and_grad(
+                lambda p: loss_apply_fn(p, batch, rng)
+            )(state.params)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         new_state = TrainState(state.step + 1, params, opt_state)
