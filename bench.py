@@ -109,8 +109,45 @@ def main():
         params, opt_state, loss = train_step(params, opt_state, img, labels)
     float(loss)  # host transfer: guarantees every queued step retired
     dt = (time.perf_counter() - t0) / iters
+    wall_imgs_per_sec = batch / dt
 
-    imgs_per_sec = batch / dt
+    # Headline = XPlane device time.  Wall clocks on this box's remote-chip
+    # tunnel carry ~2 ms/step of dispatch latency that is an artifact of the
+    # tunnel, not of the program (BENCHMARKS.md "measurement law": trust only
+    # XPlane device timestamps).  The wall number is kept as a cross-check
+    # field; if profiling is unavailable the wall number is the headline.
+    device_ms = None
+    try:
+        import shutil
+        import tempfile
+
+        from vit_tpu.utils.profiling import op_breakdown, trace
+
+        logdir = tempfile.mkdtemp(prefix="vit_bench_xplane_")
+        try:
+            prof_iters = 10
+            with trace(logdir):
+                for _ in range(prof_iters):
+                    params, opt_state, loss = train_step(
+                        params, opt_state, img, labels)
+                float(loss)
+            rows = op_breakdown(logdir, top=1_000_000)
+            total = sum(r["total_ms"] for r in rows)
+            if total > 0:
+                device_ms = total / prof_iters
+        finally:
+            shutil.rmtree(logdir, ignore_errors=True)
+    except Exception:
+        device_ms = None
+
+    if device_ms is not None:
+        imgs_per_sec = batch / (device_ms / 1e3)
+        method = ("XPlane device time over 10 steps; "
+                  "wall-clock cross-check in wall_images_per_sec")
+    else:
+        imgs_per_sec = wall_imgs_per_sec
+        method = "wall clock over 30 chained steps (XPlane unavailable)"
+
     flops = model_train_flops_per_image()
     analytic = peak_bf16_flops() / flops
     practical = practical_bf16_flops() / flops
@@ -121,6 +158,8 @@ def main():
         "vs_baseline": round(imgs_per_sec / analytic, 3),
         "vs_analytic": round(imgs_per_sec / analytic, 3),
         "vs_practical": round(imgs_per_sec / practical, 3),
+        "wall_images_per_sec": round(wall_imgs_per_sec, 1),
+        "method": method,
         "practical_ceiling_note": "184 TF/s measured all-GEMM ceiling at "
                                   "these shapes (XPlane; BENCHMARKS.md)",
     }))
