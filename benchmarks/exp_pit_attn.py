@@ -35,10 +35,16 @@ DEPTH = 3
 
 def build(tier):
     from vit_tpu.layers.common import Transformer
+    from vit_tpu.ops import attention as att
+
+    # Reset the dispatch before every tier: the 'flash' tier monkey-patches
+    # it, and without the reset a later tier in the same process (any argv
+    # order, e.g. 'flash xla') would silently measure the flash path.
+    if not hasattr(build, "_orig_use_flash"):
+        build._orig_use_flash = att._use_flash
+    att._use_flash = build._orig_use_flash
 
     if tier == "flash":
-        from vit_tpu.ops import attention as att
-
         att._use_flash = lambda q, k, bias, mask: (
             max(q.shape[2], k.shape[2]) >= 768 and bias is None
             and mask is None)

@@ -6,7 +6,16 @@
 cd "$(dirname "$0")/.."
 
 if [ -f /tmp/bench.pid ]; then
-  while kill -0 "$(cat /tmp/bench.pid)" 2>/dev/null; do sleep 10; done
+  # Wait only while the PID is alive AND actually running bench.py (a stale
+  # pid file whose PID was reused would otherwise block forever); bound the
+  # wait at 60 min regardless.
+  pid="$(cat /tmp/bench.pid)"
+  waited=0
+  while kill -0 "$pid" 2>/dev/null \
+      && grep -q "bench\.py" "/proc/$pid/cmdline" 2>/dev/null \
+      && [ "$waited" -lt 3600 ]; do
+    sleep 10; waited=$((waited + 10))
+  done
 fi
 echo "#### $(date +%H:%M:%S) bench warm-up done; starting queue"
 

@@ -39,3 +39,41 @@ if REPO_ROOT not in sys.path:
 REFERENCE_DIR = "/root/reference/vit_tensorflow"
 if os.path.isdir(REFERENCE_DIR) and REFERENCE_DIR not in sys.path:
     sys.path.append(REFERENCE_DIR)
+
+
+# ---- test tiers -------------------------------------------------------------
+# quick tier (~2 min warm-cache on this box):
+#     python -m pytest -m quick -q
+# everything except the >40s-per-test interpret-mode kernel suites:
+#     python -m pytest -m "not slow" -q
+# Full suite: plain `python -m pytest tests/ -q` (unchanged).
+
+# Model-level interpret-mode kernel fences: each test runs a whole
+# hierarchical model through interpret-mode Pallas (43-128s measured).
+_SLOW = (
+    "tests/unit/test_windowed_fused.py",
+    "tests/unit/test_twins_fused.py",
+    "tests/unit/test_fused_cross_attention.py::"
+    "test_scalable_vit_fused_matches_exact",
+)
+
+# <5-min re-run fence: ViT golden parity, the main fused-block kernel file
+# at its (small) unit shapes, and one multidevice objective smoke.
+_QUICK = (
+    "tests/parity/test_vit_parity.py",
+    "tests/unit/test_fused_attention_block.py",
+    "tests/multidevice/test_sharded_train.py::"
+    "test_self_supervised_loss_train_step_on_mesh",
+    "tests/multidevice/test_sharded_train.py::test_dp8_train_step",
+)
+
+
+def pytest_collection_modifyitems(config, items):
+    import pytest
+
+    for item in items:
+        nodeid = item.nodeid.replace("\\", "/")
+        if any(nodeid.startswith(p) for p in _SLOW):
+            item.add_marker(pytest.mark.slow)
+        if any(nodeid.startswith(p) for p in _QUICK):
+            item.add_marker(pytest.mark.quick)
