@@ -134,3 +134,32 @@ def test_flash_dispatch_pads_odd_head_dim():
                                        use_flash="never")
     assert out.shape == (2, 2, 64, 40)
     assert jnp.max(jnp.abs(out - ref)) < 1e-5
+
+
+def test_flash_native_d32_forward_and_backward():
+    """d=32 rides flash unpadded (the dispatch skips the 64-block pad for
+    multiples of 32 — ScalableViT's IWSA dim_key): forward AND the
+    streaming backward must match XLA at the narrow lane dim."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, h, n, d = 1, 2, 128, 32
+    ks = jax.random.split(jax.random.PRNGKey(7), 3)
+    q, k, v = (jax.random.normal(kk, (b, h, n, d)) for kk in ks)
+    scale = d ** -0.5
+
+    def loss_ref(q, k, v):
+        return jnp.sum(_xla_attention(q, k, v, scale=scale) ** 2)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(scaled_dot_product_attention(
+            q, k, v, scale=scale, use_flash="force") ** 2)
+
+    with pltpu.force_tpu_interpret_mode():
+        out = scaled_dot_product_attention(q, k, v, scale=scale,
+                                           use_flash="force")
+        g_fl = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    ref = _xla_attention(q, k, v, scale=scale)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(g_ref, g_fl):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=5e-5)

@@ -111,9 +111,15 @@ def scaled_dot_product_attention(
     if use_flash != "never" and (use_flash == "force" or _use_flash(q, k, bias, mask)):
         # Zero-pad odd head dims to the 64-lane block: pad dims add 0 to
         # every q·k logit and the padded v columns come back as zeros,
-        # sliced off below — exact same attention.
+        # sliced off below — exact same attention.  Multiples of 32 skip
+        # the pad entirely: the kernels take d as-is (Mosaic lane-pads in
+        # registers), and the explicit HBM pads are pure loss — measured
+        # at the ScalableViT stage-1 IWSA shape (64,2,4096,32): 9.55 →
+        # 8.32 ms/call device (benchmarks/exp_scalable_iwsa.py; the
+        # kernel's own time is identical at d=32 and d=64 because MXU
+        # contraction cycles don't shrink below the 128 fill).
         d = q.shape[-1]
-        d_pad = (-d) % 64
+        d_pad = 0 if d % 32 == 0 else (-d) % 64
         if d_pad:
             pad = ((0, 0), (0, 0), (0, 0), (0, d_pad))
             q, k, v = (jnp.pad(t, pad) for t in (q, k, v))
