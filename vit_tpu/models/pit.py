@@ -23,13 +23,47 @@ from einops import rearrange, repeat
 from flax import linen as nn
 
 from vit_tpu.core.helpers import cast_tuple
-from vit_tpu.layers.common import Conv, Dense, GroupedConv, LayerNorm, Transformer
-from vit_tpu.ops.patchify import extract_patches
+from vit_tpu.layers.common import (Conv, Dense, GroupedConv, LayerNorm,
+                                   Transformer, glorot_uniform)
 
 
 def conv_output_size(image_size: int, kernel_size: int, stride: int,
                      padding: int = 0) -> int:
     return int((image_size - kernel_size + 2 * padding) / stride) + 1
+
+
+class OverlapPatchEmbed(nn.Module):
+    """``extract_patches(k, s, VALID) → flatten → Dense(dim)`` folded into
+    one strided conv (reference pit.py:110-122, 180-184).
+
+    The unfold's channel order (patch rows contiguous, each row holding
+    ``kernel·c`` values — ``ops/patchify.extract_patches``) is exactly the
+    HWIO reshape of the Dense kernel, so ``conv(img, W.reshape(k,k,c,dim),
+    stride=s, VALID) + b`` computes the same embedding without ever
+    materializing the (b, 31, 31, 588) unfold — whose 196-slice concat
+    profiled at 6.7 ms/step = 15% of the PiT step (profiles/pit.md).
+    The param tree matches Dense (``kernel (k·k·c, dim)``, ``bias (dim,)``)
+    so TF transplant and golden parity are unchanged.
+    """
+
+    dim: int
+    patch_size: int
+    stride: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, img: jax.Array) -> jax.Array:
+        k, s = self.patch_size, self.stride
+        c = img.shape[-1]
+        kernel = self.param("kernel", glorot_uniform, (k * k * c, self.dim))
+        bias = self.param("bias", nn.initializers.zeros, (self.dim,))
+        img, kernel, bias = nn.dtypes.promote_dtype(
+            img, kernel, bias, dtype=self.dtype)
+        out = jax.lax.conv_general_dilated(
+            img, kernel.reshape(k, k, c, self.dim), (s, s), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        out = out + bias
+        return rearrange(out, "b h w c -> b (h w) c")
 
 
 class Pool(nn.Module):
@@ -86,10 +120,9 @@ class PiT(nn.Module):
     def __call__(self, img: jax.Array, training: bool = False) -> jax.Array:
         heads = cast_tuple(self.heads, len(self.depth))
 
-        x = extract_patches(img, self.patch_size, self.patch_size // 2,
-                            padding="VALID")
-        x = rearrange(x, "b h w c -> b (h w) c")
-        x = Dense(self.dim, dtype=self.dtype, name="patch_embedding")(x)
+        x = OverlapPatchEmbed(self.dim, self.patch_size,
+                              self.patch_size // 2, dtype=self.dtype,
+                              name="patch_embedding")(img)
         b, n, _ = x.shape
 
         output_size = conv_output_size(self.image_size, self.patch_size,
