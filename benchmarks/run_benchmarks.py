@@ -300,9 +300,20 @@ def main():
     ap.add_argument("--only", type=str, default=None)
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--f32", action="store_true")
-    ap.add_argument("--xplane", action="store_true",
-                    help="cross-check infer rows against XPlane device time")
+    ap.add_argument("--xplane", action=argparse.BooleanOptionalAction,
+                    default=True,
+                    help="cross-check infer rows against XPlane device time "
+                         "(on by default; --no-xplane for a quick pass)")
     args = ap.parse_args()
+
+    try:
+        import subprocess
+        git_rev = subprocess.run(
+            ["git", "-C", os.path.dirname(os.path.abspath(__file__)),
+             "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, timeout=10).stdout.strip() or None
+    except Exception:
+        git_rev = None
 
     dtype = jnp.float32 if args.f32 else jnp.bfloat16
     registry = model_registry(dtype)
@@ -328,6 +339,14 @@ def main():
                                       _BATCH_OVERRIDES.get(name, args.batch),
                                       dtype, xplane=args.xplane)
                 row["compile_s"] = round(time.time() - t0, 1)
+                # Provenance (VERDICT r3 #5): which code state and which
+                # measurement method produced this row.
+                row["round"] = os.environ.get("VIT_TPU_BENCH_ROUND", "r4")
+                row["git"] = git_rev
+                row["method"] = (
+                    "train-ring"  # objectives: params update every step
+                    if name.endswith("_obj") else
+                    ("ring+xplane" if args.xplane else "ring"))
                 print(json.dumps(row), flush=True)
                 f.write(json.dumps(row) + "\n")
                 f.flush()
