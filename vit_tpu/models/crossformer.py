@@ -101,12 +101,51 @@ class CrossEmbedLayer(nn.Module):
         dim_scales = [int(self.dim / (2 ** i)) for i in range(1, num_scales)]
         dim_scales = [*dim_scales, self.dim - sum(dim_scales)]
 
-        fmaps = []
-        for i, (kernel, dim_scale) in enumerate(zip(kernel_sizes, dim_scales)):
-            fmaps.append(Conv(dim_scale, (kernel, kernel), strides=self.stride,
-                              padding="SAME", dtype=self.dtype,
-                              name=f"conv_{i}")(x))
-        return jnp.concatenate(fmaps, axis=-1)
+        convs = [Conv(dim_scale, (kernel, kernel), strides=self.stride,
+                      padding="SAME", dtype=self.dtype, name=f"conv_{i}")
+                 for i, (kernel, dim_scale)
+                 in enumerate(zip(kernel_sizes, dim_scales))]
+
+        s = self.stride
+        H, W = x.shape[1:3]
+        if H % s == 0 and W % s == 0 and num_scales > 1:
+            # Fused stem: the parallel convs re-read the full input map once
+            # per scale (2.2 ms/step on the 224² stage-1 image,
+            # profiles/crossformer.md). Because every scale shares the
+            # stride and 'SAME' centering, embedding each k×k kernel at
+            # spatial offset pad_lo(K) - pad_lo(k) inside a zeroed K×K
+            # kernel (K = largest scale) makes ONE conv compute all scales
+            # in a single pass over the input — identical taps, identical
+            # param tree, zero taps contribute exactly 0 to the f32
+            # accumulator. (pad_lo(k) = max(k - s, 0)//2 since H % s == 0;
+            # kernels smaller than the stride get no padding at all.)
+            cin = x.shape[-1]
+            dummy = jnp.zeros((1, kernel_sizes[-1], kernel_sizes[-1], cin),
+                              x.dtype)
+            for conv in convs:
+                conv(dummy)  # bind params without touching the real map
+            big = kernel_sizes[-1]
+            lo = lambda k: max(k - s, 0) // 2
+            lo_big = lo(big)
+            kparts, bparts = [], []
+            for k, conv in zip(kernel_sizes, convs):
+                p = conv.variables["params"]
+                off = lo_big - lo(k)
+                kparts.append(jnp.pad(
+                    p["kernel"], ((off, big - k - off), (off, big - k - off),
+                                  (0, 0), (0, 0))))
+                bparts.append(p["bias"])
+            kernel = jnp.concatenate(kparts, axis=-1)
+            bias = jnp.concatenate(bparts)
+            xs, kernel, bias = nn.dtypes.promote_dtype(
+                x, kernel, bias, dtype=self.dtype)
+            out = jax.lax.conv_general_dilated(
+                xs, kernel, (s, s),
+                [(lo_big, max(big - s, 0) - lo_big)] * 2,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            return out + bias
+
+        return jnp.concatenate([conv(x) for conv in convs], axis=-1)
 
 
 class DynamicPositionBias(nn.Module):
