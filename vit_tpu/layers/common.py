@@ -315,6 +315,12 @@ def _fused_attention_tier(x, dropout: float, training: bool, dtype,
     return False
 
 
+def _fused_mlp_min_d() -> int:
+    """Smallest model dim the fused MLP dispatch accepts (lane-tile gate)."""
+    import os
+    return int(os.environ.get("VIT_TPU_FUSED_MLP_MIN_D", "128"))
+
+
 def _fused_mlp_eligible(x, dropout: float, training: bool, dtype,
                         mode: str = "auto", nmajor: bool = False) -> bool:
     """x is (b, n, d) activations (pre-transpose shape even when the
@@ -330,8 +336,11 @@ def _fused_mlp_eligible(x, dropout: float, training: bool, dtype,
         dtype in (jnp.bfloat16, jnp.float16)
         and x.dtype in (jnp.bfloat16, jnp.float16)
         # Narrow model dims (< a lane tile, e.g. T2T's 27/147-dim unfold
-        # stages) waste the MXU — XLA handles those better.
-        and x.shape[-1] >= 128
+        # stages) waste the MXU — XLA handles those better.  The floor is
+        # overridable (VIT_TPU_FUSED_MLP_MIN_D) so the dispatch threshold
+        # can be measured per-shape on-chip (exp_cmlp64.py) rather than
+        # assumed; 128 = one full lane tile is the conservative default.
+        and x.shape[-1] >= _fused_mlp_min_d()
         and fused_mlp_available()
     ):
         return False
