@@ -23,7 +23,11 @@ run() {
   echo "#### $(date +%H:%M:%S) DONE rc=$?: $*"
 }
 
-for m in twins_svt crossformer pit cvt nest scalable_vit; do
+# Only these four route conv-MLPs through the gated fused path at a
+# sub-128 stage dim (twins/crossformer/scalable s1=64, nest s1=96);
+# pit (256), cvt (256+), mobilevit/regionvit (no conv-MLP fused path)
+# are unaffected by the knob.
+for m in twins_svt crossformer nest scalable_vit; do
   run 2400 python -u benchmarks/exp_cmlp64.py "$m" 128
   run 2400 python -u benchmarks/exp_cmlp64.py "$m" 64
 done

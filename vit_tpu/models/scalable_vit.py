@@ -24,7 +24,8 @@ from flax import linen as nn
 
 from vit_tpu.core.helpers import cast_tuple, default
 from vit_tpu.layers.common import (ChannelLayerNorm, Conv, Dense,
-                                   GroupedConv, LayerNorm, gelu_exact)
+                                   GroupedConv, LayerNorm,
+                                   fused_conv_mlp_residual, gelu_exact)
 from vit_tpu.ops.attention import scaled_dot_product_attention
 
 
@@ -204,6 +205,16 @@ class ScalableTransformer(nn.Module):
     norm_output: bool = True
     dtype: Any = jnp.float32
     fused_attention: str = "auto"
+    fused_mlp: str = "auto"
+
+    def _conv_mlp(self, x, ind, tag, training):
+        norm = ChannelLayerNorm(self.dim, name=f"{tag}_norm_{ind}")
+        mlp = ConvMLP(self.dim, self.ff_expansion_factor,
+                      dropout=self.dropout, dtype=self.dtype,
+                      name=f"{tag}_{ind}")
+        y = fused_conv_mlp_residual(x, norm, mlp, self.dropout, training,
+                                    self.dtype, self.fused_mlp)
+        return y if y is not None else x + mlp(norm(x), training=training)
 
     @nn.compact
     def __call__(self, x, training: bool = False):
@@ -219,11 +230,7 @@ class ScalableTransformer(nn.Module):
                                      training)
                  if self.fused_attention != "never" else None)
             x = y if y is not None else x + ssa(norm(x), training=training)
-            h = ChannelLayerNorm(self.dim, name=f"ff1_norm_{ind}")(x)
-            h = ConvMLP(self.dim, self.ff_expansion_factor,
-                        dropout=self.dropout, dtype=self.dtype,
-                        name=f"ff1_{ind}")(h, training=training)
-            x = x + h
+            x = self._conv_mlp(x, ind, "ff1", training)
             if ind == 0:
                 peg = GroupedConv(self.dim, (3, 3), padding="SAME",
                                   dtype=self.dtype,
@@ -236,11 +243,7 @@ class ScalableTransformer(nn.Module):
                 dropout=self.dropout, dtype=self.dtype,
                 name=f"iwsa_{ind}")(h, training=training)
             x = x + h
-            h = ChannelLayerNorm(self.dim, name=f"ff2_norm_{ind}")(x)
-            h = ConvMLP(self.dim, self.ff_expansion_factor,
-                        dropout=self.dropout, dtype=self.dtype,
-                        name=f"ff2_{ind}")(h, training=training)
-            x = x + h
+            x = self._conv_mlp(x, ind, "ff2", training)
         if self.norm_output:
             x = ChannelLayerNorm(self.dim, name="norm")(x)
         return x
@@ -264,6 +267,7 @@ class ScalableViT(nn.Module):
     dropout: float = 0.0
     dtype: Any = jnp.float32
     fused_attention: str = "auto"
+    fused_mlp: str = "auto"
 
     def __post_init__(self):
         super().__post_init__()
@@ -297,6 +301,7 @@ class ScalableViT(nn.Module):
                 iwsa_dim_value=iwsa_dim_value[ind],
                 iwsa_window_size=window_size[ind], dtype=self.dtype,
                 fused_attention=self.fused_attention,
+                fused_mlp=self.fused_mlp,
                 name=f"stage_{ind}",
             )(x, training=training)
             if not is_last:
