@@ -316,9 +316,19 @@ def _fused_attention_tier(x, dropout: float, training: bool, dtype,
 
 
 def _fused_mlp_min_d() -> int:
-    """Smallest model dim the fused MLP dispatch accepts (lane-tile gate)."""
+    """Smallest model dim the fused MLP dispatch accepts (lane-tile gate).
+
+    Default 64: the on-chip shootout (benchmarks/exp_cmlp64.py, round 4)
+    measured min_d=64 vs 128 on every hierarchical model whose stage-1
+    conv-MLPs run at d=64 — twins_svt 26.04→23.46 ms/step (−9.9%),
+    crossformer 25.39→23.58 (−7.1%), scalable_vit 46.22→44.23 (−4.3%).
+    d=64 rows half-fill the lane tile but the row counts are huge
+    (b·h·w ≥ 64·56·56) so the MXU stays fed and the fused epilogue
+    (bias+GELU+residual in-kernel) beats XLA's unfused chain.  Still
+    env-overridable for per-shape measurement.
+    """
     import os
-    return int(os.environ.get("VIT_TPU_FUSED_MLP_MIN_D", "128"))
+    return int(os.environ.get("VIT_TPU_FUSED_MLP_MIN_D", "64"))
 
 
 def _fused_mlp_eligible(x, dropout: float, training: bool, dtype,
@@ -335,11 +345,11 @@ def _fused_mlp_eligible(x, dropout: float, training: bool, dtype,
     if not (
         dtype in (jnp.bfloat16, jnp.float16)
         and x.dtype in (jnp.bfloat16, jnp.float16)
-        # Narrow model dims (< a lane tile, e.g. T2T's 27/147-dim unfold
-        # stages) waste the MXU — XLA handles those better.  The floor is
-        # overridable (VIT_TPU_FUSED_MLP_MIN_D) so the dispatch threshold
-        # can be measured per-shape on-chip (exp_cmlp64.py) rather than
-        # assumed; 128 = one full lane tile is the conservative default.
+        # Narrow model dims (< half a lane tile, e.g. T2T's 27/147-dim
+        # unfold stages) waste the MXU — XLA handles those better.  The
+        # floor is overridable (VIT_TPU_FUSED_MLP_MIN_D) so the dispatch
+        # threshold can be measured per-shape on-chip (exp_cmlp64.py);
+        # 64 is the measured winner (see _fused_mlp_min_d).
         and x.shape[-1] >= _fused_mlp_min_d()
         and fused_mlp_available()
     ):
