@@ -27,6 +27,10 @@ run() {
 }
 
 run 2400 python -u benchmarks/run_benchmarks.py --only deepvit,vit_b32_256
+# Rows whose phase-C measurement window overlapped CPU-side test runs
+# on this one-core box (walls depressed ~10-30% while device times were
+# flat — the deepvit signature): re-measure quiet.
+run 2400 python -u benchmarks/run_benchmarks.py --only mobilevit,cross_vit,cvt
 run 1800 python -u bench.py
 
 echo "#### PHASE E COMPLETE $(date +%H:%M:%S)"
