@@ -156,7 +156,7 @@ def _extras(dtype):
     }
 
 
-def bench_objective(name, model, image_size, batch, dtype):
+def bench_objective(name, model, image_size, batch, dtype, xplane=False):
     """Objective wrappers *are* the loss — the train step differentiates
     their scalar output directly."""
     from vit_tpu.utils.profiling import benchmark_throughput
@@ -184,7 +184,7 @@ def bench_objective(name, model, image_size, batch, dtype):
         return loss
 
     train = benchmark_throughput(step_fn, batch=batch)
-    return {
+    row = {
         "model": name,
         "batch": batch,
         "image_size": image_size,
@@ -192,11 +192,19 @@ def bench_objective(name, model, image_size, batch, dtype):
         "train_images_per_sec_per_chip": round(train["items_per_sec"], 1),
         "device": jax.devices()[0].device_kind,
     }
+    if xplane:
+        # Train steps update params every call — each enqueued execution is
+        # already distinct, so no input ring is needed for the XPlane pass.
+        xp = _xplane_step_ms(step_fn)
+        row["train_device_ms_per_step"] = round(xp, 2)
+        row["train_images_per_sec_device"] = round(batch / (xp / 1e3), 1)
+    return row
 
 
-def _xplane_infer_ms(fwd, serve_vars, ring, iters=8):
-    """Device ms/step for the infer row straight from XPlane timestamps —
-    the only timing source the axon tunnel can't distort (ROUND2_NOTES)."""
+def _xplane_step_ms(step_fn, iters=8):
+    """Device ms/step for an arbitrary step closure straight from XPlane
+    timestamps — the only timing source the axon tunnel can't distort
+    (ROUND2_NOTES)."""
     import shutil
     import tempfile
 
@@ -205,12 +213,23 @@ def _xplane_infer_ms(fwd, serve_vars, ring, iters=8):
     logdir = tempfile.mkdtemp(prefix="vit_xp_")
     try:
         with profiling.trace(logdir):
-            outs = [fwd(serve_vars, ring[i % len(ring)]) for i in range(iters)]
+            outs = [step_fn() for _ in range(iters)]
             jax.block_until_ready(outs)
         rows = profiling.op_breakdown(logdir, top=1_000_000)
         return sum(r["total_ms"] for r in rows) / iters
     finally:
         shutil.rmtree(logdir, ignore_errors=True)
+
+
+def _xplane_infer_ms(fwd, serve_vars, ring, iters=8):
+    ctr = [0]
+
+    def step():
+        out = fwd(serve_vars, ring[ctr[0] % len(ring)])
+        ctr[0] += 1
+        return out
+
+    return _xplane_step_ms(step, iters)
 
 
 def bench_model(name, model, image_size, batch, dtype, xplane=False):
@@ -273,6 +292,7 @@ def bench_model(name, model, image_size, batch, dtype, xplane=False):
         return loss
 
     train = benchmark_throughput(step_fn, batch=batch)
+    xp_train = _xplane_step_ms(step_fn) if xplane else None
     row = {
         "model": name,
         "batch": batch,
@@ -285,6 +305,10 @@ def bench_model(name, model, image_size, batch, dtype, xplane=False):
     if xp_ms is not None:
         row["infer_device_ms_per_step"] = round(xp_ms, 2)
         row["infer_images_per_sec_device"] = round(batch / (xp_ms / 1e3), 1)
+    if xp_train is not None:
+        row["train_device_ms_per_step"] = round(xp_train, 2)
+        row["train_images_per_sec_device"] = round(batch / (xp_train / 1e3),
+                                                   1)
     return row
 
 
@@ -333,7 +357,7 @@ def main():
                 if name.endswith("_obj"):
                     row = bench_objective(name, model, image_size,
                                           _BATCH_OVERRIDES.get(name, args.batch),
-                                          dtype)
+                                          dtype, xplane=args.xplane)
                 else:
                     row = bench_model(name, model, image_size,
                                       _BATCH_OVERRIDES.get(name, args.batch),
@@ -341,12 +365,13 @@ def main():
                 row["compile_s"] = round(time.time() - t0, 1)
                 # Provenance (VERDICT r3 #5): which code state and which
                 # measurement method produced this row.
-                row["round"] = os.environ.get("VIT_TPU_BENCH_ROUND", "r4")
+                row["round"] = os.environ.get("VIT_TPU_BENCH_ROUND", "r5")
                 row["git"] = git_rev
                 row["method"] = (
-                    "train-ring"  # objectives: params update every step
-                    if name.endswith("_obj") else
-                    ("ring+xplane" if args.xplane else "ring"))
+                    # objectives: params update every step, no ring needed
+                    (("train-ring+xplane" if args.xplane else "train-ring")
+                     if name.endswith("_obj") else
+                     ("ring+xplane" if args.xplane else "ring")))
                 print(json.dumps(row), flush=True)
                 f.write(json.dumps(row) + "\n")
                 f.flush()

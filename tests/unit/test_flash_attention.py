@@ -136,6 +136,58 @@ def test_flash_dispatch_pads_odd_head_dim():
     assert jnp.max(jnp.abs(out - ref)) < 1e-5
 
 
+def test_flash_native_d96_forward_and_backward():
+    """d=96 (the next multiple of 32 past the lane width) also skips the
+    64-block pad — cover the widened rule beyond the d=32 shape that was
+    measured on-chip (exp_scalable_iwsa.py)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, h, n, d = 1, 2, 128, 96
+    ks = jax.random.split(jax.random.PRNGKey(11), 3)
+    q, k, v = (jax.random.normal(kk, (b, h, n, d)) for kk in ks)
+    scale = d ** -0.5
+
+    def loss_ref(q, k, v):
+        return jnp.sum(_xla_attention(q, k, v, scale=scale) ** 2)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(scaled_dot_product_attention(
+            q, k, v, scale=scale, use_flash="force") ** 2)
+
+    with pltpu.force_tpu_interpret_mode():
+        out = scaled_dot_product_attention(q, k, v, scale=scale,
+                                           use_flash="force")
+        g_fl = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    ref = _xla_attention(q, k, v, scale=scale)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(g_ref, g_fl):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=5e-5)
+
+
+def test_use_flash_16bit_1024_tier(monkeypatch):
+    """The 16-bit n>=1024 tier lives in the dispatcher (not in model code):
+    bf16 at n=1024 qualifies, f32 at n=1024 does not, bias disqualifies."""
+    from vit_tpu.ops.attention import _use_flash
+
+    monkeypatch.setattr(fa, "flash_attention_available", lambda: True)
+    q16 = jnp.zeros((1, 2, 1024, 32), jnp.bfloat16)
+    q32 = jnp.zeros((1, 2, 1024, 32), jnp.float32)
+    bias = jnp.zeros((1, 1, 1024, 1024), jnp.bfloat16)
+    assert _use_flash(q16, q16, None, None)
+    assert not _use_flash(q32, q32, None, None)
+    assert not _use_flash(q16, q16, bias, None)
+    assert _use_flash(jnp.zeros((1, 2, 2048, 32), jnp.float32),
+                      jnp.zeros((1, 2, 2048, 32), jnp.float32), None, None)
+
+
+def test_force_flash_rejects_bias():
+    q = jnp.zeros((1, 1, 16, 32))
+    bias = jnp.zeros((1, 1, 16, 16))
+    with pytest.raises(AssertionError):
+        scaled_dot_product_attention(q, q, q, bias=bias, use_flash="force")
+
+
 def test_flash_native_d32_forward_and_backward():
     """d=32 rides flash unpadded (the dispatch skips the 64-block pad for
     multiples of 32 — ScalableViT's IWSA dim_key): forward AND the

@@ -120,8 +120,9 @@ class CrossEmbedLayer(nn.Module):
             # accumulator. (pad_lo(k) = max(k - s, 0)//2 since H % s == 0;
             # kernels smaller than the stride get no padding at all.)
             cin = x.shape[-1]
-            dummy = jnp.zeros((1, kernel_sizes[-1], kernel_sizes[-1], cin),
-                              x.dtype)
+            # Kernel shapes depend only on cin, so a 1×1 dummy binds the
+            # child params; the dead convs are DCE'd by XLA.
+            dummy = jnp.zeros((1, 1, 1, cin), x.dtype)
             for conv in convs:
                 conv(dummy)  # bind params without touching the real map
             big = kernel_sizes[-1]

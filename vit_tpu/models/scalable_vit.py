@@ -126,19 +126,13 @@ class InteractiveWindowedSelfAttention(nn.Module):
             (q, k, v),
         )
         # window_size=None stages run one whole-map window (4096 tokens at
-        # stage 1 @256) — flash keeps the n² maps out of HBM there.  The
-        # n=1024 windows (stage 2 @256) sit below the global n≥2048 gate
-        # but still materialize 537 MB of bf16 maps per layer on the XLA
-        # path in-model (profiles/scalable_vit.md: ~3.9 ms/layer vs ~1.6
-        # through flash), so 16-bit models force flash from n≥1024 here.
-        from vit_tpu.ops.flash_attention import flash_attention_available
-
-        n_win = q.shape[2]
-        force = (n_win >= 1024 and flash_attention_available()
-                 and q.dtype in (jnp.bfloat16, jnp.float16))
+        # stage 1 @256); the n=1024 stage-2 windows ride the dispatcher's
+        # 16-bit n>=1024 flash tier (measured in-model here:
+        # profiles/scalable_vit.md, ~3.9 ms/layer XLA vs ~1.6 flash) — the
+        # tier lives in ops/attention._use_flash so this model carries no
+        # dispatch policy of its own.
         out = scaled_dot_product_attention(
-            q, k, v, scale=self.dim_key ** -0.5,
-            use_flash="force" if force else "auto")
+            q, k, v, scale=self.dim_key ** -0.5)
         out = rearrange(
             out, "(b x y) h (w1 w2) d -> b (x w1) (y w2) (h d)",
             x=height // wsz_h, y=width // wsz_w, w1=wsz_h, w2=wsz_w)

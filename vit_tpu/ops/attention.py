@@ -74,7 +74,16 @@ def _use_flash(q, k, bias, mask) -> bool:
     # Odd head dims (ScalableViT's dim_key 40) zero-pad to the 64-lane
     # block inside the dispatch — padding contributes 0 to every logit and
     # the padded output columns are sliced off, so only n gates here.
-    return n >= 2048 and bias is None and mask is None
+    if bias is not None or mask is not None:
+        return False
+    if n >= 2048:
+        return True
+    # 16-bit tier: at n=1024 the XLA path's bf16-stored maps still cost
+    # ~3.9 ms/layer vs ~1.6 through flash, measured in-model at the
+    # ScalableViT stage-2 IWSA windows (profiles/scalable_vit.md).  f32
+    # keeps the n>=2048 gate — double-width maps shift the crossover and
+    # only the 16-bit case was measured.
+    return n >= 1024 and q.dtype in (jnp.bfloat16, jnp.float16)
 
 
 def scaled_dot_product_attention(
@@ -107,6 +116,12 @@ def scaled_dot_product_attention(
         from vit_tpu.ops.short_attention import short_attention
 
         return short_attention(q, k, v, scale)
+
+    if use_flash == "force":
+        # The flash kernels have no bias/mask path — 'force' must not
+        # silently drop them (the auto gate checks this; force bypasses it).
+        assert bias is None and mask is None, (
+            "use_flash='force' cannot carry a bias or mask")
 
     if use_flash != "never" and (use_flash == "force" or _use_flash(q, k, bias, mask)):
         # Zero-pad odd head dims to the 64-lane block: pad dims add 0 to
