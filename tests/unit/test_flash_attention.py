@@ -174,11 +174,11 @@ def test_use_flash_16bit_1024_tier(monkeypatch):
     q16 = jnp.zeros((1, 2, 1024, 32), jnp.bfloat16)
     q32 = jnp.zeros((1, 2, 1024, 32), jnp.float32)
     bias = jnp.zeros((1, 1, 1024, 1024), jnp.bfloat16)
-    assert _use_flash(q16, q16, None, None)
-    assert not _use_flash(q32, q32, None, None)
-    assert not _use_flash(q16, q16, bias, None)
-    assert _use_flash(jnp.zeros((1, 2, 2048, 32), jnp.float32),
-                      jnp.zeros((1, 2, 2048, 32), jnp.float32), None, None)
+    assert _use_flash(q16, q16, q16, None, None)
+    assert not _use_flash(q32, q32, q32, None, None)
+    assert not _use_flash(q16, q16, q16, bias, None)
+    q2k = jnp.zeros((1, 2, 2048, 32), jnp.float32)
+    assert _use_flash(q2k, q2k, q2k, None, None)
 
 
 def test_force_flash_rejects_bias():

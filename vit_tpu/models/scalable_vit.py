@@ -26,7 +26,8 @@ from vit_tpu.core.helpers import cast_tuple, default
 from vit_tpu.layers.common import (ChannelLayerNorm, Conv, Dense,
                                    GroupedConv, LayerNorm,
                                    fused_conv_mlp_residual, gelu_exact)
-from vit_tpu.ops.attention import scaled_dot_product_attention
+from vit_tpu.ops.attention import (packed_window_attention,
+                                   scaled_dot_product_attention)
 
 
 class ConvMLP(nn.Module):
@@ -97,6 +98,7 @@ class InteractiveWindowedSelfAttention(nn.Module):
     dim_value: int = 32
     dropout: float = 0.0
     dtype: Any = jnp.float32
+    fused: str = "auto"
 
     @nn.compact
     def __call__(self, x, training: bool = False):
@@ -119,22 +121,24 @@ class InteractiveWindowedSelfAttention(nn.Module):
         local_out = Conv(self.dim_value * heads, (3, 3), padding="SAME",
                          dtype=self.dtype, name="local_interactive_module")(v)
 
+        # Channel-packed window fold: at the canonical 256² config every
+        # stage is a whole-map window (x=y=1), so these rearranges are free
+        # reshapes.  The head split lives inside packed_window_attention —
+        # when its flash tier fires (16-bit n≥1024 / any n≥2048, measured
+        # in-model: profiles/scalable_vit.md, ~3.9 ms/layer XLA vs ~1.6
+        # flash) the packed kernel lane-slices heads in VMEM, removing the
+        # ~2.5 ms/step of NHWC→(b,h,n,d) layout copies the head-major fold
+        # cost (profiles/scalable_vit.md:66-68).
         q, k, v = map(
             lambda t: rearrange(
-                t, "b (x w1) (y w2) (h d) -> (b x y) h (w1 w2) d",
-                h=heads, w1=wsz_h, w2=wsz_w),
+                t, "b (x w1) (y w2) c -> (b x y) (w1 w2) c",
+                w1=wsz_h, w2=wsz_w),
             (q, k, v),
         )
-        # window_size=None stages run one whole-map window (4096 tokens at
-        # stage 1 @256); the n=1024 stage-2 windows ride the dispatcher's
-        # 16-bit n>=1024 flash tier (measured in-model here:
-        # profiles/scalable_vit.md, ~3.9 ms/layer XLA vs ~1.6 flash) — the
-        # tier lives in ops/attention._use_flash so this model carries no
-        # dispatch policy of its own.
-        out = scaled_dot_product_attention(
-            q, k, v, scale=self.dim_key ** -0.5)
+        out = packed_window_attention(
+            q, k, v, heads, scale=self.dim_key ** -0.5, mode=self.fused)
         out = rearrange(
-            out, "(b x y) h (w1 w2) d -> b (x w1) (y w2) (h d)",
+            out, "(b x y) (w1 w2) c -> b (x w1) (y w2) c",
             x=height // wsz_h, y=width // wsz_w, w1=wsz_h, w2=wsz_w)
         out = out + local_out
         out = Conv(self.dim, (1, 1), dtype=self.dtype, name="to_out")(out)
@@ -235,6 +239,7 @@ class ScalableTransformer(nn.Module):
                 self.dim, window_size=self.iwsa_window_size, heads=self.heads,
                 dim_key=self.iwsa_dim_key, dim_value=self.iwsa_dim_value,
                 dropout=self.dropout, dtype=self.dtype,
+                fused=self.fused_attention,
                 name=f"iwsa_{ind}")(h, training=training)
             x = x + h
             x = self._conv_mlp(x, ind, "ff2", training)

@@ -58,7 +58,7 @@ def _use_short(q, k, bias, mask) -> bool:
     return False
 
 
-def _use_flash(q, k, bias, mask) -> bool:
+def _use_flash(q, k, v, bias, mask) -> bool:
     from vit_tpu.ops import flash_attention as fa
 
     if not fa.flash_attention_available():
@@ -75,6 +75,9 @@ def _use_flash(q, k, bias, mask) -> bool:
     # block inside the dispatch — padding contributes 0 to every logit and
     # the padded output columns are sliced off, so only n gates here.
     if bias is not None or mask is not None:
+        return False
+    if q.shape[3] != v.shape[3]:
+        # the flash kernels assume one head width for q/k/v
         return False
     if n >= 2048:
         return True
@@ -123,7 +126,7 @@ def scaled_dot_product_attention(
         assert bias is None and mask is None, (
             "use_flash='force' cannot carry a bias or mask")
 
-    if use_flash != "never" and (use_flash == "force" or _use_flash(q, k, bias, mask)):
+    if use_flash != "never" and (use_flash == "force" or _use_flash(q, k, v, bias, mask)):
         # Zero-pad odd head dims to the 64-lane block: pad dims add 0 to
         # every q·k logit and the padded v columns come back as zeros,
         # sliced off below — exact same attention.  Multiples of 32 skip
@@ -132,7 +135,9 @@ def scaled_dot_product_attention(
         # at the ScalableViT stage-1 IWSA shape (64,2,4096,32): 9.55 →
         # 8.32 ms/call device (benchmarks/exp_scalable_iwsa.py; the
         # kernel's own time is identical at d=32 and d=64 because MXU
-        # contraction cycles don't shrink below the 128 fill).
+        # contraction cycles don't shrink below the 128 fill).  d=96
+        # checked on real Mosaic fwd+bwd (benchmarks/check_d96.py, r5)
+        # and in interpret mode (tests/unit/test_flash_attention.py).
         d = q.shape[-1]
         d_pad = 0 if d % 32 == 0 else (-d) % 64
         if d_pad:
@@ -151,6 +156,49 @@ def scaled_dot_product_attention(
         return out[..., :d] if d_pad else out
 
     return _xla_attention(q, k, v, scale=scale, bias=bias, mask=mask)
+
+
+def packed_window_attention(q, k, v, heads, *, scale=None, mode="auto"):
+    """Attention over channel-packed ``(b, n, heads*d)`` q/k/v (packed out).
+
+    Conv-produced q/k/v arrive NHWC channel-packed; routing them through the
+    head-major kernel costs a head-split transpose in and a head-merge out
+    (~2.5 ms/step at ScalableViT's whole-map stages,
+    profiles/scalable_vit.md:66-68).  When the flash tier fires this calls
+    the packed kernel — heads unrolled in-kernel with static lane slices —
+    and the layout copies vanish; otherwise it falls back to the head-major
+    dispatcher, so callers see one function with the same tiers as
+    :func:`scaled_dot_product_attention`.
+
+    ``mode``: 'auto' | 'never' | 'force' | 'interpret' (tests on CPU).
+    """
+    from vit_tpu.ops.flash_attention_packed import (
+        flash_attention_packed, flash_attention_packed_available)
+
+    b, n, hdk = q.shape
+    assert hdk % heads == 0 and v.shape[2] % heads == 0
+    if scale is None:
+        scale = (hdk // heads) ** -0.5
+    nk_max = max(n, k.shape[1])
+    if mode == "interpret":
+        return flash_attention_packed(q, k, v, heads, scale, True)
+    # Same tiers as _use_flash, plus the v1 whole-K VMEM residency cap.
+    if (mode != "never" and flash_attention_packed_available()
+            and nk_max <= 4096
+            and (mode == "force" or nk_max >= 2048
+                 or (nk_max >= 1024
+                     and q.dtype in (jnp.bfloat16, jnp.float16)))):
+        return flash_attention_packed(q, k, v, heads, scale)
+
+    def split(t):
+        return t.reshape(b, t.shape[1], heads,
+                         t.shape[2] // heads).transpose(0, 2, 1, 3)
+
+    out = scaled_dot_product_attention(split(q), split(k), split(v),
+                                       scale=scale,
+                                       use_flash="never" if mode == "never"
+                                       else "auto")
+    return out.transpose(0, 2, 1, 3).reshape(b, n, v.shape[2])
 
 
 def softmax_lastdim(logits, out_dtype):
