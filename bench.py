@@ -148,6 +148,24 @@ def main():
         imgs_per_sec = wall_imgs_per_sec
         method = "wall clock over 30 chained steps (XPlane unavailable)"
 
+    # vs_floor: fraction of the MEASURED shape-aware GEMM floor this step
+    # achieves (benchmarks/floors.json, from exp_b32_floor.py's depth-diff
+    # decomposition — see BENCHMARKS.md "B/32 TRAIN floor accounting").
+    # Unlike vs_analytic/vs_practical, the denominator is the sum of this
+    # exact step's own GEMMs measured standalone on this chip, so 1.0 means
+    # "every non-GEMM op is free"; >0.93 is at-floor given the ~15 VPU/HBM
+    # passes per layer the model's math requires.
+    vs_floor = None
+    floor_ms = None
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "benchmarks", "floors.json")) as f:
+            floor_ms = json.load(f)["b32_train_step_floor_ms"]
+        step_ms = device_ms if device_ms is not None else dt * 1e3
+        vs_floor = round(floor_ms / step_ms, 3)
+    except Exception:
+        pass
+
     flops = model_train_flops_per_image()
     analytic = peak_bf16_flops() / flops
     practical = practical_bf16_flops() / flops
@@ -158,6 +176,8 @@ def main():
         "vs_baseline": round(imgs_per_sec / analytic, 3),
         "vs_analytic": round(imgs_per_sec / analytic, 3),
         "vs_practical": round(imgs_per_sec / practical, 3),
+        "vs_floor": vs_floor,
+        "floor_ms_per_step": floor_ms,
         "wall_images_per_sec": round(wall_imgs_per_sec, 1),
         "method": method,
         "practical_ceiling_note": "184 TF/s measured all-GEMM ceiling at "
