@@ -25,10 +25,10 @@ run() {
 }
 
 run 6000 python -u benchmarks/run_benchmarks.py --only twins_svt
-run 3600 python -u benchmarks/profile_step.py model:crossformer infer
-run 3600 python -u benchmarks/profile_step.py model:scalable_vit infer
 run 6000 python -u benchmarks/run_benchmarks.py --only simmim_obj,mae_obj
 run 6000 python -u benchmarks/run_benchmarks.py --only mpp_obj,distill_obj
+run 3600 python -u benchmarks/profile_step.py model:crossformer infer
+run 3600 python -u benchmarks/profile_step.py model:scalable_vit infer
 run 12000 python -u benchmarks/exp_cold_compile.py twins_svt pit
 run 12000 python -u benchmarks/exp_cold_compile.py regionvit nest
 run 12000 python -u benchmarks/exp_cold_compile.py scalable_vit vit_b32_256 vit_b16_224
