@@ -14,6 +14,7 @@ it is a jit-safe ``jnp`` gather and gradients flow into the DPB MLP.
 
 from __future__ import annotations
 
+import os
 from typing import Any, Tuple, Union
 
 import jax
@@ -140,9 +141,37 @@ class CrossEmbedLayer(nn.Module):
             bias = jnp.concatenate(bparts)
             xs, kernel, bias = nn.dtypes.promote_dtype(
                 x, kernel, bias, dtype=self.dtype)
+            lo_hi = max(big - s, 0) - lo_big
+            if big % s == 0 and os.environ.get(
+                    "VIT_TPU_S2D_STEM", "1") == "1":
+                # Space-to-depth rewrite: XLA's conv emitter pays dearly for
+                # the strided big-K conv (2.50 ms at ~31 TF/s on the 224²
+                # stage-1 map, profiles/crossformer.md — N=64 lane underfill
+                # × stride-4 overlapping-window im2col; GEMM bound ~0.43 ms).
+                # Because big % s == 0: pad once with the conv's own
+                # (pad_lo, pad_hi), pack each s×s pixel block into channels
+                # (ry, rx, c), and reindex the kernel the same way
+                # (big, big, cin, cout) → (big/s, big/s, s·s·cin, cout).
+                # The stride-1 conv then computes the IDENTICAL sums — same
+                # taps, same f32 accumulation targets — but with s²× deeper
+                # input channels feeding the MXU and no window overlap.
+                xp = jnp.pad(
+                    xs, ((0, 0), (lo_big, lo_hi), (lo_big, lo_hi), (0, 0)))
+                b, hp, wp, _ = xp.shape
+                xp = xp.reshape(b, hp // s, s, wp // s, s, cin)
+                xp = xp.transpose(0, 1, 3, 2, 4, 5).reshape(
+                    b, hp // s, wp // s, s * s * cin)
+                kb = big // s
+                k2 = kernel.reshape(kb, s, kb, s, cin, self.dim)
+                k2 = k2.transpose(0, 2, 1, 3, 4, 5).reshape(
+                    kb, kb, s * s * cin, self.dim)
+                out = jax.lax.conv_general_dilated(
+                    xp, k2, (1, 1), [(0, 0)] * 2,
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"))
+                return out + bias
             out = jax.lax.conv_general_dilated(
                 xs, kernel, (s, s),
-                [(lo_big, max(big - s, 0) - lo_big)] * 2,
+                [(lo_big, lo_hi)] * 2,
                 dimension_numbers=("NHWC", "HWIO", "NHWC"))
             return out + bias
 
